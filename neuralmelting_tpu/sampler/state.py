@@ -85,8 +85,9 @@ def ensemble_init(pot, pos, box, seed, temps, presses, dpos0, dvol_frac0, dt0,
     ``temps`` and ``presses`` are flat (R,) arrays (e.g. a raveled P x T grid).
     Every replica gets an independently folded PRNG key.
     """
-    temps = jnp.asarray(temps, jnp.float32)
-    presses = jnp.asarray(presses, jnp.float32)
+    # copies: never alias caller buffers into (donatable) state
+    temps = jnp.array(temps, jnp.float32, copy=True)
+    presses = jnp.array(presses, jnp.float32, copy=True)
     r = temps.shape[0]
     keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
         jax.random.key(seed), jnp.arange(r))

@@ -1,0 +1,68 @@
+"""Golden-path tests (BASELINE config 1): the jitted sampler must track the
+independent loop-based CPU reference move for move under a fixed seed."""
+
+import jax
+import numpy as np
+
+from neuralmelting_tpu.models.lattice import make_supercell
+from neuralmelting_tpu.models.lj import LJCut
+from neuralmelting_tpu.refimpl import cpu_ref
+from neuralmelting_tpu.sampler import moves, serial, driver
+from neuralmelting_tpu.sampler.state import init_state
+
+
+def run_pair(ncells, temp, press, nsweeps, mod, ppos=0.96875, pvol=0.03125,
+             seed=11):
+    pot = LJCut.create()
+    pos, box = make_supercell("fcc", 2.0 ** (2 / 3), ncells)
+    key = jax.random.key(seed)
+
+    # production path
+    state = init_state(pot, pos, box, key, temp, press,
+                       dpos0=0.1, dvol_frac0=0.01, dt0=0.005)
+    sweep_fn = serial.make_sweep_fn(pot, 1.0, 1.0, moves.brute_backend(),
+                                    ppos, pvol, 4, 1.0)
+    run = driver.make_run_fn(sweep_fn, kb=1.0, mod=mod,
+                             nrecords=nsweeps // mod)
+    state, recs, frames = run(state)
+
+    # independent reference (fresh key object: `key`'s buffer was donated)
+    ref = cpu_ref.init_ref_state(pos, box, jax.random.key(seed), temp, press,
+                                 dpos0=0.1, dvol_frac0=0.01, dt0=0.005)
+    ref_recs = []
+    for r in range(nsweeps // mod):
+        for _ in range(mod):
+            ref = cpu_ref.sweep(ref, 1.0, 1.0, ppos, pvol, 1.0, 1.0, 2.5)
+        ref_recs.append((ref.pe, float(np.prod(ref.box)),
+                         ref.nap, ref.ntp, ref.nav, ref.ntv))
+        ref = cpu_ref.adapt(ref)
+    return state, recs, frames, ref, ref_recs
+
+
+def test_golden_vs_cpu_reference_cold():
+    state, recs, frames, ref, ref_recs = run_pair(
+        ncells=2, temp=0.5, press=1.0, nsweeps=6, mod=3)
+    np.testing.assert_allclose(np.asarray(state.pos), ref.pos,
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(state.box), ref.box, rtol=1e-5)
+    np.testing.assert_allclose(float(state.pe), ref.pe, rtol=2e-4, atol=5e-3)
+    # per-record accept counters must match exactly
+    for k, (pe, vol, nap, ntp, nav, ntv) in enumerate(ref_recs):
+        np.testing.assert_allclose(float(recs.pe[k]), pe, rtol=2e-4, atol=5e-3)
+        np.testing.assert_allclose(float(recs.vol[k]), vol, rtol=1e-5)
+
+
+def test_golden_vs_cpu_reference_hot():
+    """Near melting: many accepts, stresses the incremental-energy path."""
+    state, recs, frames, ref, ref_recs = run_pair(
+        ncells=2, temp=1.2, press=2.0, nsweeps=6, mod=3, seed=5)
+    np.testing.assert_allclose(np.asarray(state.pos), ref.pos,
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(float(state.pe), ref.pe, rtol=5e-4, atol=2e-2)
+
+
+def test_step_size_adaptation_matches():
+    state, recs, frames, ref, _ = run_pair(
+        ncells=2, temp=0.8, press=1.0, nsweeps=9, mod=3)
+    np.testing.assert_allclose(float(state.dpos), ref.dpos, rtol=1e-5)
+    np.testing.assert_allclose(float(state.dvol), ref.dvol, rtol=1e-4)

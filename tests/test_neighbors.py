@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralmelting_tpu.models.lattice import make_supercell
+from neuralmelting_tpu.models.lj import LJCut
+from neuralmelting_tpu.ops import energy as E
+from neuralmelting_tpu.ops import neighbors as NB
+
+
+def _liquidish(ncells=3, seed=0, jitter=0.1):
+    pos, box = make_supercell("fcc", 1.6, ncells)
+    pos = jnp.asarray(pos)
+    pos = pos + jitter * jax.random.normal(jax.random.key(seed), pos.shape)
+    box = jnp.asarray(box)
+    pos = pos - box * jnp.floor(pos / box)
+    return pos, box
+
+
+def test_build_matches_bruteforce_counts():
+    pos, box = _liquidish()
+    rlist = 2.9
+    nl = NB.build(pos, box, rlist, capacity=96)
+    d = np.asarray(pos)[None, :, :] - np.asarray(pos)[:, None, :]
+    d -= np.asarray(box) * np.round(d / np.asarray(box))
+    r2 = (d ** 2).sum(-1)
+    np.fill_diagonal(r2, np.inf)
+    counts = (r2 < rlist * rlist).sum(-1)
+    np.testing.assert_array_equal(np.asarray(nl.count), counts)
+    assert not bool(nl.overflow)
+    # every listed neighbor really is within rlist
+    for i in [0, 5, 50]:
+        c = int(nl.count[i])
+        js = np.asarray(nl.idx[i][:c])
+        assert (np.sqrt(r2[i][js]) < rlist).all()
+
+
+def test_overflow_flag():
+    pos, box = _liquidish()
+    nl = NB.build(pos, box, 2.9, capacity=8)
+    assert bool(nl.overflow)
+
+
+def test_energy_matches_brute():
+    pot = LJCut.create()
+    pos, box = _liquidish()
+    nl = NB.build(pos, box, 2.9, capacity=96)
+    pe_b, w_b = E.pair_energy_virial(pot, pos, box)
+    pe_n, w_n = NB.pair_energy_virial(pot, pos, box, nl)
+    # f32 summation order differs between the two paths
+    np.testing.assert_allclose(pe_n, pe_b, rtol=3e-4, atol=1e-3)
+    np.testing.assert_allclose(w_n, w_b, rtol=3e-4, atol=1e-2)
+
+
+def test_forces_match_brute():
+    pot = LJCut.create()
+    pos, box = _liquidish()
+    nl = NB.build(pos, box, 2.9, capacity=96)
+    f_b = E.forces(pot, pos, box)
+    f_n = NB.forces(pot, pos, box, nl)
+    np.testing.assert_allclose(f_n, f_b, rtol=1e-4, atol=1e-4)
+
+
+def test_delta_moves_match_brute():
+    pot = LJCut.create()
+    pos, box = _liquidish()
+    nl = NB.build(pos, box, 2.9, capacity=96)
+    ids = jnp.array([3, 40, 77])
+    disp = jax.random.uniform(jax.random.key(2), (3, 3),
+                              minval=-0.15, maxval=0.15)
+    new_r = pos[ids] + disp
+    de, dw = NB.delta_moves(pot, pos, box, nl, ids, new_r)
+    for k in range(3):
+        de_b, dw_b = E.delta_move_brute(pot, pos, box, int(ids[k]), new_r[k])
+        np.testing.assert_allclose(de[k], de_b, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(dw[k], dw_b, rtol=1e-4, atol=1e-3)
+
+
+def test_needs_rebuild_logic():
+    pos, box = _liquidish()
+    rc = 2.5
+    nl = NB.build(pos, box, rc + 0.4, capacity=96)
+    assert not bool(NB.needs_rebuild(nl, pos, box, rc))
+    # move one particle by more than skin/2
+    pos2 = pos.at[0].add(jnp.array([0.3, 0.0, 0.0]))
+    assert bool(NB.needs_rebuild(nl, pos2, box, rc))
+    # shrink the box enough that scaled rlist < rc + 2D
+    s = (rc / (rc + 0.4)) * 0.99
+    assert bool(NB.needs_rebuild(nl, pos * s, box * s, rc))
+    # benign uniform expansion is fine
+    assert not bool(NB.needs_rebuild(nl, pos * 1.01, box * 1.01, rc))
+
+
+def test_suggest_capacity_sane():
+    pos, box = _liquidish()
+    k = NB.suggest_capacity(len(pos), box, 2.9)
+    nl = NB.build(pos, box, 2.9, capacity=k)
+    assert not bool(nl.overflow)
+    assert k % 8 == 0 or k == len(pos) - 1
