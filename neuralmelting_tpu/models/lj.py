@@ -19,6 +19,10 @@ class LJCut:
     sigma: jnp.ndarray
     rc: jnp.ndarray
 
+    @property
+    def kind(self) -> str:
+        return "pair"
+
     @classmethod
     def create(cls, eps: float = 1.0, sigma: float = 1.0, rc: float = 2.5,
                dtype=jnp.float32) -> "LJCut":

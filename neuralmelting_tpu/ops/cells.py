@@ -83,14 +83,18 @@ def bin_particles(pos, box, ncell, shift_frac):
       start:      (C,) first slot in sorted_ids of each cell.
       count:      (C,) particles per cell.
     """
-    nc = jnp.asarray(ncell, jnp.int32)
+    # componentwise with Python-int cell counts: no jnp array constants may
+    # be baked into traced code on this stack (docs/tpu_notes.md §1)
+    n0, n1, n2 = (int(c) for c in ncell)
     frac = pos / box + shift_frac
     frac = frac - jnp.floor(frac)
-    ci = jnp.minimum((frac * nc).astype(jnp.int32), nc - 1)
-    cid = (ci[:, 0] * nc[1] + ci[:, 1]) * nc[2] + ci[:, 2]
+    c0 = jnp.minimum((frac[:, 0] * n0).astype(jnp.int32), n0 - 1)
+    c1 = jnp.minimum((frac[:, 1] * n1).astype(jnp.int32), n1 - 1)
+    c2 = jnp.minimum((frac[:, 2] * n2).astype(jnp.int32), n2 - 1)
+    cid = (c0 * n1 + c1) * n2 + c2
     order = jnp.argsort(cid).astype(jnp.int32)
     scid = cid[order]
-    c_total = int(np.prod(ncell))
+    c_total = n0 * n1 * n2
     cells = jnp.arange(c_total, dtype=jnp.int32)
     start = jnp.searchsorted(scid, cells, side="left").astype(jnp.int32)
     end = jnp.searchsorted(scid, cells, side="right").astype(jnp.int32)

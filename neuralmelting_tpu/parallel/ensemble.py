@@ -3,10 +3,19 @@
 The reference ran one dask worker + LAMMPS instance per (P,T) sample with a
 driver-side gather each cycle (SURVEY.md §2.2, §3.1). Here the ensemble is a
 single MCState pytree with a leading replica axis, advanced by a vmapped
-checkerboard sweep inside one jitted scan; neighbor-list rebuilds are decided
-globally (any replica stale -> rebuild all) so the branch stays outside vmap
-and executes only when taken. Mesh sharding of the replica axis is layered
-on top in neuralmelting_tpu.parallel.mesh / tempering.
+checkerboard sweep inside one jitted scan, with parallel-tempering exchange
+events between record blocks (sampler/tempering.py). Neighbor-list rebuilds
+are decided globally (any replica stale -> rebuild all) so the branch stays
+outside vmap and executes only when taken.
+
+All array inputs — the potential pytree, the checkerboard color table, the
+(T,P) grids — are jit ARGUMENTS, never baked constants (docs/tpu_notes.md
+§1: baked constants cost ~0.5 ms per scan iteration on this stack).
+
+Scaling: replicas are embarrassingly parallel between exchanges, so placing
+the leading axis on a device mesh via NamedSharding (parallel/mesh.py) lets
+GSPMD partition the whole scan; exchange math is O(R) scalars and runs from
+an all-gather the partitioner inserts automatically.
 """
 
 from __future__ import annotations
@@ -17,7 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from neuralmelting_tpu.ops import neighbors as NB
+from neuralmelting_tpu.ops import potential_ops as PO
 from neuralmelting_tpu.sampler import checkerboard as CB
+from neuralmelting_tpu.sampler import tempering
 from neuralmelting_tpu.sampler.adapt import adapt_step_sizes
 from neuralmelting_tpu.sampler.driver import make_record
 
@@ -29,67 +40,126 @@ def _or_reduce_flags(d):
             ).astype(jnp.int32)
 
 
-def make_ensemble_run_fn(pot, kb, p2e, cellcfg, skin: float, capacity: int,
+def make_ensemble_run_fn(kb, p2e, cellcfg, skin: float, capacity: int,
                          mod: int, nrecords: int, npasses: int = 0,
                          nvol: int = 1,
                          nhmc: int = 0, nstps: int = 16, mass: float = 1.0,
                          targets=(0.5, 0.5, 0.5), factor: float = 1.0625,
                          natoms: int = 0,
+                         exchange: bool = False, npress: int = 0,
+                         ntemp: int = 0, style: str = "pair",
                          write_traj: bool = True, jit: bool = True):
-    """Build ``run(states, nls) -> (states, nls, recs, frames, diag)``.
+    """Build the ensemble run function.
 
-    ``states`` is an MCState with leading replica axis R; ``nls`` the matching
-    NeighborList (see ``build_ensemble_nl``). recs fields are (nrecords, R).
-    ``npasses=0`` auto-selects ~N attempts per sweep (needs ``natoms``).
+    Without exchange:
+      ``run(states, nls, aux, pot, table) ->
+        (states, nls, aux, recs, frames, diag)``
+    With exchange:
+      ``run(states, nls, aux, slot_of, xkey, pot, table, t_grid, p_grid) ->
+        (states, nls, aux, slot_of, recs, frames, slots_hist, xacc, diag)``
+
+    ``aux`` is per-replica potential cache (see build_ensemble_aux).
+
+    ``states``: MCState with leading replica axis R; ``nls`` the matching
+    NeighborList; ``table`` = jnp.asarray(cellcfg.active_table). recs fields
+    are (nrecords, R) in *replica* order; ``slots_hist`` (nrecords, R) gives
+    each replica's grid slot at record time, ``xacc`` (nrecords,) counts
+    accepted swaps. ``npasses=0`` auto-selects ~N attempts per sweep (needs
+    ``natoms``).
     """
     if npasses <= 0:
         if natoms <= 0:
             raise ValueError("pass npasses or natoms")
         npasses = CB.default_npasses(natoms, cellcfg)
-    sweep = CB.make_cb_sweep_fn(pot, kb, p2e, cellcfg, npasses=npasses,
+    pops = PO.ops_for_style(style)
+    sweep = CB.make_cb_sweep_fn(kb, p2e, cellcfg, npasses=npasses,
                                 nvol=nvol, nhmc=nhmc,
-                                nstps=nstps, mass=mass)
-    vsweep = jax.vmap(sweep)
-    rlist = pot.rc + skin
+                                nstps=nstps, mass=mass, style=style)
+    vsweep = jax.vmap(sweep, in_axes=(None, None, 0, 0, 0))
 
-    def _vbuild(pos, box):
+    def _vbuild(pot, pos, box):
+        rlist = pot.rc + skin
         return jax.vmap(lambda p, b: NB.build(p, b, rlist, capacity))(pos, box)
 
-    vstale = jax.vmap(lambda nl, p, b: NB.needs_rebuild(nl, p, b, pot.rc))
-    vtotal = jax.vmap(lambda p, b, nl: NB.pair_energy_virial(pot, p, b, nl))
-
-    def sweep_step(carry, _):
-        states, nls, diag = carry
-        states, d = vsweep(states, nls)
+    def sweep_step(pot, table, carry):
+        states, nls, aux, diag = carry
+        states, aux, d = vsweep(pot, table, states, nls, aux)
         diag = diag | _or_reduce_flags(d)
-        stale = vstale(nls, states.pos, states.box)
+        stale = jax.vmap(
+            lambda nl, p, b: NB.needs_rebuild(nl, p, b, pot.rc)
+        )(nls, states.pos, states.box)
         nls = jax.lax.cond(jnp.any(stale),
-                           lambda: _vbuild(states.pos, states.box),
+                           lambda: _vbuild(pot, states.pos, states.box),
                            lambda: nls)
-        return (states, nls, diag), None
+        return states, nls, aux, diag
 
-    def record_block(carry, _):
-        carry, _ = jax.lax.scan(sweep_step, carry, None, length=mod)
-        states, nls, diag = carry
-        # kill f32 drift of the incremental accumulators at every record
-        pe, vir = vtotal(states.pos, states.box, nls)
+    def block_core(pot, table, states, nls, aux, diag):
+        (states, nls, aux, diag), _ = jax.lax.scan(
+            lambda c, _: (sweep_step(pot, table, c), None),
+            (states, nls, aux, diag), None, length=mod)
+        # kill f32 drift of the incremental accumulators at every record;
+        # also refresh the potential cache (EAM rho) from scratch
+        pe, vir = jax.vmap(
+            lambda p, b, nl: pops.total(pot, p, b, nl)
+        )(states.pos, states.box, nls)
         states = states.replace(pe=pe, virial=vir)
+        if pops.kind != "pair":
+            aux = jax.vmap(
+                lambda p, b, nl: pops.init_aux(pot, p, b, nl)
+            )(states.pos, states.box, nls)
         rec = jax.vmap(lambda s: make_record(s, kb))(states)
         states = jax.vmap(
             lambda s: adapt_step_sizes(s, targets=targets, factor=factor)
         )(states)
         frame = (states.pos, states.box) if write_traj else ()
-        return (states, nls, diag), (rec, frame)
+        return states, nls, aux, diag, rec, frame
 
-    def run(states, nls):
+    if not exchange:
+        def run(states, nls, aux, pot, table):
+            def record_block(carry, _):
+                states, nls, aux, diag = carry
+                states, nls, aux, diag, rec, frame = block_core(
+                    pot, table, states, nls, aux, diag)
+                return (states, nls, aux, diag), (rec, frame)
+
+            diag0 = jnp.zeros((), jnp.int32)
+            (states, nls, aux, diag), (recs, frames) = jax.lax.scan(
+                record_block, (states, nls, aux, diag0), None,
+                length=nrecords)
+            return (states, nls, aux, recs,
+                    (frames if write_traj else None), diag)
+
+        if jit:
+            run = jax.jit(run, donate_argnums=(0, 1, 2))
+        return run
+
+    assert npress * ntemp > 0
+
+    def run_x(states, nls, aux, slot_of, xkey, pot, table, t_grid, p_grid):
+        def record_block_x(carry, event_idx):
+            states, nls, aux, slot_of, diag = carry
+            states, nls, aux, diag, rec, frame = block_core(
+                pot, table, states, nls, aux, diag)
+            slots_at_record = slot_of  # attribution BEFORE the exchange
+            ekey = jax.random.fold_in(xkey, event_idx)
+            states, slot_of, n_acc = tempering.exchange_event(
+                states, slot_of, ekey, event_idx, npress, ntemp,
+                t_grid, p_grid, kb, p2e)
+            return (states, nls, aux, slot_of, diag), (rec, frame,
+                                                       slots_at_record,
+                                                       n_acc)
+
         diag0 = jnp.zeros((), jnp.int32)
-        (states, nls, diag), (recs, frames) = jax.lax.scan(
-            record_block, (states, nls, diag0), None, length=nrecords)
-        return states, nls, recs, (frames if write_traj else None), diag
+        carry = (states, nls, aux, slot_of, diag0)
+        (states, nls, aux, slot_of, diag), (recs, frames, hist, xacc) = \
+            jax.lax.scan(record_block_x, carry,
+                         jnp.arange(nrecords), length=nrecords)
+        return (states, nls, aux, slot_of, recs,
+                (frames if write_traj else None), hist, xacc, diag)
 
     if jit:
-        run = jax.jit(run, donate_argnums=(0, 1))
-    return run
+        run_x = jax.jit(run_x, donate_argnums=(0, 1, 2))
+    return run_x
 
 
 def build_ensemble_nl(pot, states, skin: float,
@@ -107,3 +177,10 @@ def build_ensemble_nl(pot, states, skin: float,
     rlist = pot.rc + skin
     return jax.vmap(lambda p, b: NB.build(p, b, rlist, capacity))(
         states.pos, states.box), capacity
+
+
+def build_ensemble_aux(pot, states, nls):
+    """Per-replica potential cache: EAM density (R,N); empty for pair."""
+    pops = PO.ops_for(pot)
+    return jax.vmap(lambda p, b, nl: pops.init_aux(pot, p, b, nl))(
+        states.pos, states.box, nls)

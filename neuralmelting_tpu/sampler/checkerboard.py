@@ -1,3 +1,4 @@
+# cache-bust v2
 """High-throughput checkerboard NPT sweep (SURVEY.md §7 Phase 3).
 
 One sweep = ``npasses`` passes + ``nvol`` volume trials (+ optional HMC).
@@ -30,6 +31,7 @@ import jax.numpy as jnp
 
 from neuralmelting_tpu.ops import cells as cells_ops
 from neuralmelting_tpu.ops import neighbors as NB
+from neuralmelting_tpu.ops import potential_ops as PO
 from neuralmelting_tpu.sampler import moves
 
 # diagnostic bit flags
@@ -37,12 +39,13 @@ DIAG_NL_OVERFLOW = 1
 DIAG_CB_INVALID = 2
 
 
-def nl_backend(nl: NB.NeighborList) -> moves.EnergyBackend:
+def nl_backend(pops: "PO.PotentialOps", nl: NB.NeighborList
+               ) -> moves.EnergyBackend:
     return moves.EnergyBackend(
-        total=lambda pot, pos, box: NB.pair_energy_virial(pot, pos, box, nl),
+        total=lambda pot, pos, box: pops.total(pot, pos, box, nl),
         delta_move=lambda pot, pos, box, i, ri: NB.delta_move_single(
             pot, pos, box, nl, i, ri),
-        forces=lambda pot, pos, box: NB.forces(pot, pos, box, nl),
+        forces=lambda pot, pos, box: pops.forces(pot, pos, box, nl),
     )
 
 
@@ -51,16 +54,25 @@ def default_npasses(natoms: int, cellcfg: cells_ops.CellConfig) -> int:
     return max(1, int(np.ceil(natoms / cellcfg.ncells_total)))
 
 
-def make_cb_sweep_fn(pot, kb, p2e, cellcfg: cells_ops.CellConfig,
+def make_cb_sweep_fn(kb, p2e, cellcfg: cells_ops.CellConfig,
                      npasses: int = 1, nvol: int = 1, nhmc: int = 0,
-                     nstps: int = 16, mass: float = 1.0):
-    """Build ``sweep(state, nl) -> (state, diag)`` for one checkerboard sweep."""
-    active_table = jnp.asarray(cellcfg.active_table)      # (ncolors, M)
+                     nstps: int = 16, mass: float = 1.0,
+                     style: str = "pair"):
+    """Build ``sweep(pot, active_table, state, nl, aux) ->
+    (state, aux, diag)``.
+
+    ``pot`` and ``active_table`` ((ncolors, M) i32 from cellcfg) must be
+    traced arguments, never baked constants (docs/tpu_notes.md §1); the
+    factory closes over Python statics only. ``aux`` is potential-specific
+    cached state (EAM density cache; empty array for pair potentials);
+    ``style`` selects the PotentialOps at build time.
+    """
+    pops = PO.ops_for_style(style)
     ncolors = cellcfg.ncolors
     ncell = cellcfg.ncell
     stride = cellcfg.stride
 
-    def one_pass(state, nl, dpos_eff, pkey):
+    def one_pass(pot, active_table, state, nl, aux, dpos_eff, pkey):
         n = state.pos.shape[0]
         ksh, kperm, kcol = jax.random.split(pkey, 3)
         shift = jax.random.uniform(ksh, (3,), jnp.float32)
@@ -70,24 +82,28 @@ def make_cb_sweep_fn(pot, kb, p2e, cellcfg: cells_ops.CellConfig,
             state.pos, state.box, ncell, shift)
         beta = 1.0 / (kb * state.temp)
 
-        def substep(st, inputs):
+        def substep(carry, inputs):
+            st, aux = carry
             color, skey = inputs
-            cells = active_table[color]                    # (M,)
-            cnt = count[cells]
-            st0 = start[cells]
+            # promise_in_bounds on every hot gather: see docs/tpu_notes.md §5
+            cells = active_table.at[color].get(mode="promise_in_bounds")
+            cnt = count.at[cells].get(mode="promise_in_bounds")
+            st0 = start.at[cells].get(mode="promise_in_bounds")
             kpick, kdisp, kacc = jax.random.split(skey, 3)
             m = cells.shape[0]
             u = jax.random.uniform(kpick, (m,), jnp.float32)
             pick = jnp.minimum((u * cnt).astype(jnp.int32),
                                jnp.maximum(cnt - 1, 0))
-            pid = sorted_ids[jnp.clip(st0 + pick, 0, n - 1)]
+            pid = sorted_ids.at[jnp.clip(st0 + pick, 0, n - 1)].get(
+                mode="promise_in_bounds")
             valid = cnt > 0
 
             disp = jax.random.uniform(kdisp, (m, 3), jnp.float32,
                                       minval=-dpos_eff, maxval=dpos_eff)
-            old_r = st.pos[pid]
+            old_r = st.pos.at[pid].get(mode="promise_in_bounds")
             new_r = old_r + disp
-            de, dw = NB.delta_moves(pot, st.pos, st.box, nl, pid, new_r)
+            de, dw, payload = pops.delta(pot, st.pos, st.box, nl, aux,
+                                         pid, new_r)
             ln_u = jnp.log(jax.random.uniform(kacc, (m,), jnp.float32,
                                               1e-38, 1.0))
             acc = valid & (ln_u < -beta * de)
@@ -96,43 +112,53 @@ def make_cb_sweep_fn(pot, kb, p2e, cellcfg: cells_ops.CellConfig,
             delta = jnp.where(acc[:, None], new_wr - old_r, 0.0)
             # duplicate pids only occur for empty cells (delta == 0): add is
             # scatter-safe where set would race
-            pos = st.pos.at[pid].add(delta)
-            return st.replace(
+            pos = st.pos.at[pid].add(delta, mode="promise_in_bounds")
+            aux2 = pops.apply_accept(aux, pid, acc, payload)
+            return (st.replace(
                 pos=pos,
                 pe=st.pe + jnp.sum(jnp.where(acc, de, 0.0)),
                 virial=st.virial + jnp.sum(jnp.where(acc, dw, 0.0)),
                 nap=st.nap + jnp.sum(acc).astype(jnp.int32),
                 ntp=st.ntp + jnp.sum(valid).astype(jnp.int32),
-            ), None
+            ), aux2), None
 
-        state, _ = jax.lax.scan(substep, state, (order, subkeys))
-        return state
+        (state, aux), _ = jax.lax.scan(substep, (state, aux),
+                                       (order, subkeys))
+        return state, aux
 
-    def sweep(state, nl):
+    def sweep(pot, active_table, state, nl, aux):
         key, kpass, kvol, khmc = jax.random.split(state.key, 4)
         state = state.replace(key=key)
 
         # dynamic safety clamp: (stride-1)*w >= rc + 2*dpos
-        w_min = jnp.min(state.box / jnp.asarray(ncell, jnp.float32))
-        margin = (stride - 1) * w_min - pot.rc
+        # (componentwise Python ints: no baked array constants)
+        w_min = jnp.minimum(
+            state.box[0] / ncell[0],
+            jnp.minimum(state.box[1] / ncell[1], state.box[2] / ncell[2]))
+        margin = (stride - 1) * w_min - pops.range_factor * pot.rc
         dpos_eff = jnp.minimum(state.dpos, 0.5 * margin)
         diag = jnp.where(margin <= 0.0, DIAG_CB_INVALID, 0).astype(jnp.int32)
 
-        def pass_body(st, pk):
-            return one_pass(st, nl, dpos_eff, pk), None
+        def pass_body(carry, pk):
+            st, aux = carry
+            return one_pass(pot, active_table, st, nl, aux, dpos_eff,
+                            pk), None
 
-        state, _ = jax.lax.scan(pass_body, state,
-                                jax.random.split(kpass, npasses))
+        (state, aux), _ = jax.lax.scan(pass_body, (state, aux),
+                                       jax.random.split(kpass, npasses))
 
-        backend = nl_backend(nl)
+        backend = nl_backend(pops, nl)
         for v in range(nvol):
             state = moves.volume_move(pot, kb, p2e, backend, state,
                                       jax.random.fold_in(kvol, v))
         for h in range(nhmc):
             state = moves.hmc_move(pot, kb, backend, state,
                                    jax.random.fold_in(khmc, h), nstps, mass)
+        if (nvol or nhmc) and pops.kind != "pair":
+            # whole-configuration moves invalidate the density cache
+            aux = pops.init_aux(pot, state.pos, state.box, nl)
 
         diag = diag | jnp.where(nl.overflow, DIAG_NL_OVERFLOW, 0).astype(jnp.int32)
-        return state.replace(sweep=state.sweep + 1), diag
+        return state.replace(sweep=state.sweep + 1), aux, diag
 
     return sweep

@@ -65,27 +65,29 @@ def make_record(state, kb) -> ThermoRecord:
 def make_run_fn(sweep_fn: Callable, kb: float, mod: int, nrecords: int,
                 targets=(0.5, 0.5, 0.5), factor: float = 1.0625,
                 write_traj: bool = True, jit: bool = True):
-    """Build ``run(state) -> (state, records, frames)``.
+    """Build ``run(pot, state) -> (state, records, frames)``.
 
+    ``pot`` is a traced argument (docs/tpu_notes.md §1); ``sweep_fn`` has
+    signature ``sweep(pot, state)`` (see sampler.serial.make_sweep_fn).
     records: ThermoRecord with leading axis nrecords.
     frames:  (positions, boxes) with leading axis nrecords, or None.
     """
 
-    def record_block(state, _):
-        def one_sweep(st, _):
-            return sweep_fn(st), None
+    def run(pot, state):
+        def record_block(state, _):
+            def one_sweep(st, _):
+                return sweep_fn(pot, st), None
 
-        state, _ = jax.lax.scan(one_sweep, state, None, length=mod)
-        rec = make_record(state, kb)
-        state = adapt_step_sizes(state, targets=targets, factor=factor)
-        frame = (state.pos, state.box) if write_traj else ()
-        return state, (rec, frame)
+            state, _ = jax.lax.scan(one_sweep, state, None, length=mod)
+            rec = make_record(state, kb)
+            state = adapt_step_sizes(state, targets=targets, factor=factor)
+            frame = (state.pos, state.box) if write_traj else ()
+            return state, (rec, frame)
 
-    def run(state):
         state, (recs, frames) = jax.lax.scan(
             record_block, state, None, length=nrecords)
         return state, recs, (frames if write_traj else None)
 
     if jit:
-        run = jax.jit(run, donate_argnums=0)
+        run = jax.jit(run, donate_argnums=1)
     return run

@@ -22,10 +22,11 @@ import jax.numpy as jnp
 from neuralmelting_tpu.sampler import moves
 
 
-def make_sweep_fn(pot, kb, p2e, backend, ppos, pvol, nstps, mass):
-    """Build ``sweep(state) -> state`` for one serial sweep of N attempts."""
+def make_sweep_fn(kb, p2e, backend, ppos, pvol, nstps, mass):
+    """Build ``sweep(pot, state) -> state`` for one serial sweep of N
+    attempts. ``pot`` is a traced argument (docs/tpu_notes.md §1)."""
 
-    def attempt(state, key):
+    def attempt(pot, state, key):
         kt, km = jax.random.split(key)
         u = jax.random.uniform(kt, (), jnp.float32)
         mtype = jnp.where(u < ppos, 0, jnp.where(u < ppos + pvol, 1, 2))
@@ -40,11 +41,12 @@ def make_sweep_fn(pot, kb, p2e, backend, ppos, pvol, nstps, mass):
         )
         return state, None
 
-    def sweep(state):
+    def sweep(pot, state):
         n = state.pos.shape[0]
         keys = jax.random.split(state.key, n + 1)
         state = state.replace(key=keys[0])
-        state, _ = jax.lax.scan(attempt, state, keys[1:])
+        state, _ = jax.lax.scan(lambda s, k: attempt(pot, s, k),
+                                state, keys[1:])
         return state.replace(sweep=state.sweep + 1)
 
     return sweep

@@ -35,10 +35,12 @@ def _make(ncells=4, temps=(1.0,), presses=(2.0,), a=1.6, seed=3,
 def test_cb_energy_cache_consistency():
     pot, states, cellcfg, _ = _make(temps=(0.8, 1.5), presses=(1.0, 3.0))
     nls, cap = ENS.build_ensemble_nl(pot, states, skin=0.4)
-    run = ENS.make_ensemble_run_fn(pot, 1.0, 1.0, cellcfg, skin=0.4,
+    aux = ENS.build_ensemble_aux(pot, states, nls)
+    run = ENS.make_ensemble_run_fn(1.0, 1.0, cellcfg, skin=0.4,
                                    capacity=cap, mod=5, nrecords=2,
                                    natoms=256)
-    states, nls, recs, frames, diag = run(states, nls)
+    table = jnp.asarray(cellcfg.active_table)
+    states, nls, aux, recs, frames, diag = run(states, nls, aux, pot, table)
     assert int(diag) == 0
     for r in range(2):
         pe_b, vir_b = E.pair_energy_virial(pot, states.pos[r], states.box[r])
@@ -54,10 +56,12 @@ def test_cb_counters_move_budget():
     """Per sweep each particle is trialed at most once; tries <= N."""
     pot, states, cellcfg, _ = _make()
     nls, cap = ENS.build_ensemble_nl(pot, states, skin=0.4)
-    run = ENS.make_ensemble_run_fn(pot, 1.0, 1.0, cellcfg, skin=0.4,
+    aux = ENS.build_ensemble_aux(pot, states, nls)
+    run = ENS.make_ensemble_run_fn(1.0, 1.0, cellcfg, skin=0.4,
                                    capacity=cap, mod=3, nrecords=1, nvol=1,
                                    natoms=256)
-    _, _, recs, _, _ = run(states, nls)
+    table = jnp.asarray(cellcfg.active_table)
+    _, _, _, recs, _, _ = run(states, nls, aux, pot, table)
     # acceptance ratios are well-formed
     assert 0.0 <= float(recs.acc_pos[0, 0]) <= 1.0
 
@@ -73,10 +77,12 @@ def test_ideal_gas_npt_volume():
                            0.3, 0.2, 0.005)
     cellcfg = cells_ops.make_cell_config(box, 0.5, stride=2, dpos_cap=0.25)
     nls, cap = ENS.build_ensemble_nl(pot, states, skin=0.3)
-    run = ENS.make_ensemble_run_fn(pot, 1.0, 1.0, cellcfg, skin=0.3,
+    aux = ENS.build_ensemble_aux(pot, states, nls)
+    run = ENS.make_ensemble_run_fn(1.0, 1.0, cellcfg, skin=0.3,
                                    capacity=cap, mod=10, nrecords=120,
                                    nvol=4, natoms=64, write_traj=False)
-    states, nls, recs, _, diag = run(states, nls)
+    table = jnp.asarray(cellcfg.active_table)
+    states, nls, aux, recs, _, diag = run(states, nls, aux, pot, table)
     vols = np.asarray(recs.vol[40:, 0])  # discard burn-in
     v_expect = (n + 1) * 1.0 / 1.0
     assert abs(vols.mean() - v_expect) / v_expect < 0.08, (
@@ -97,21 +103,23 @@ def test_cb_matches_serial_statistics():
     # serial
     st = init_state(pot, pos, box, jax.random.key(21), temp, press,
                     0.1, 0.01, 0.005)
-    sweep = serial.make_sweep_fn(pot, 1.0, 1.0, moves.brute_backend(),
+    sweep = serial.make_sweep_fn(1.0, 1.0, moves.brute_backend(),
                                  0.96875, 0.03125, 4, 1.0)
     run_s = driver.make_run_fn(sweep, kb=1.0, mod=10, nrecords=60,
                                write_traj=False)
-    _, recs_s, _ = run_s(st)
+    _, recs_s, _ = run_s(pot, st)
 
     # checkerboard
     states = ensemble_init(pot, pos, box, 22, jnp.array([temp]),
                            jnp.array([press]), 0.1, 0.01, 0.005)
     cellcfg = cells_ops.make_cell_config(box, float(pot.rc), stride=2)
     nls, cap = ENS.build_ensemble_nl(pot, states, skin=0.4)
-    run_c = ENS.make_ensemble_run_fn(pot, 1.0, 1.0, cellcfg, skin=0.4,
+    aux = ENS.build_ensemble_aux(pot, states, nls)
+    run_c = ENS.make_ensemble_run_fn(1.0, 1.0, cellcfg, skin=0.4,
                                      capacity=cap, mod=10, nrecords=60,
                                      nvol=2, natoms=n, write_traj=False)
-    _, _, recs_c, _, diag = run_c(states, nls)
+    table = jnp.asarray(cellcfg.active_table)
+    _, _, _, recs_c, _, diag = run_c(states, nls, aux, pot, table)
     assert int(diag) == 0
 
     pe_s = np.asarray(recs_s.pe[20:]).mean() / n

@@ -20,11 +20,11 @@ def run_pair(ncells, temp, press, nsweeps, mod, ppos=0.96875, pvol=0.03125,
     # production path
     state = init_state(pot, pos, box, key, temp, press,
                        dpos0=0.1, dvol_frac0=0.01, dt0=0.005)
-    sweep_fn = serial.make_sweep_fn(pot, 1.0, 1.0, moves.brute_backend(),
+    sweep_fn = serial.make_sweep_fn(1.0, 1.0, moves.brute_backend(),
                                     ppos, pvol, 4, 1.0)
     run = driver.make_run_fn(sweep_fn, kb=1.0, mod=mod,
                              nrecords=nsweeps // mod)
-    state, recs, frames = run(state)
+    state, recs, frames = run(pot, state)
 
     # independent reference (fresh key object: `key`'s buffer was donated)
     ref = cpu_ref.init_ref_state(pos, box, jax.random.key(seed), temp, press,

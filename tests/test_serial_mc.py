@@ -20,11 +20,11 @@ def _setup(n_cells=2, temp=0.75, press=1.0):
 def test_energy_cache_stays_consistent():
     """Incremental pe/virial must match a from-scratch recompute."""
     pot, state = _setup()
-    sweep = serial.make_sweep_fn(pot, kb=1.0, p2e=1.0,
+    sweep = serial.make_sweep_fn(kb=1.0, p2e=1.0,
                                  backend=moves.brute_backend(),
                                  ppos=0.9, pvol=0.1, nstps=4, mass=1.0)
     run = driver.make_run_fn(sweep, kb=1.0, mod=5, nrecords=2, jit=True)
-    state, recs, frames = run(state)
+    state, recs, frames = run(pot, state)
     pe_full, vir_full = E.pair_energy_virial(pot, state.pos, state.box)
     np.testing.assert_allclose(state.pe, pe_full, rtol=1e-4, atol=1e-2)
     np.testing.assert_allclose(state.virial, vir_full, rtol=1e-3, atol=0.2)
@@ -35,10 +35,10 @@ def test_energy_cache_stays_consistent():
 
 def test_acceptance_counters_and_ratios():
     pot, state = _setup()
-    sweep = serial.make_sweep_fn(pot, kb=1.0, p2e=1.0,
+    sweep = serial.make_sweep_fn(kb=1.0, p2e=1.0,
                                  backend=moves.brute_backend(),
                                  ppos=1.0, pvol=0.0, nstps=4, mass=1.0)
-    state2 = sweep(state)
+    state2 = sweep(pot, state)
     n = state.pos.shape[0]
     assert int(state2.ntp) == n
     assert 0 <= int(state2.nap) <= n
@@ -71,10 +71,10 @@ def test_volume_move_rescales_consistently():
 def test_cold_crystal_low_t_stays_bound():
     """At very low T a crystal must not blow apart (basic physics sanity)."""
     pot, state = _setup(temp=0.05)
-    sweep = serial.make_sweep_fn(pot, kb=1.0, p2e=1.0,
+    sweep = serial.make_sweep_fn(kb=1.0, p2e=1.0,
                                  backend=moves.brute_backend(),
                                  ppos=0.97, pvol=0.03, nstps=4, mass=1.0)
     run = driver.make_run_fn(sweep, kb=1.0, mod=10, nrecords=3, jit=True)
     pe0 = float(state.pe)
-    state, recs, _ = run(state)
+    state, recs, _ = run(pot, state)
     assert float(state.pe) < 0.5 * pe0  # stays strongly bound (pe0 < 0)
