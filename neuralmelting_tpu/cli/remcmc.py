@@ -1,0 +1,55 @@
+"""Stage 1 — REMCMC sampling (reference: lammps_remcmc.py).
+
+Runs the replica-exchange NPT Monte Carlo ensemble on the available
+accelerator and writes per-(P,T) .thrm/.traj text files + a checkpoint.
+
+    python -m neuralmelting_tpu.cli.remcmc -e LJ -ss 4 -pn 4 -tn 16 -o out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from neuralmelting_tpu import runner
+from neuralmelting_tpu.cli.common import add_run_args, config_from_args
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_run_args(ap)
+    ap.add_argument("-o", "--outdir", default="output")
+    ap.add_argument("--no-traj", action="store_true")
+    ap.add_argument("--restart", default=None,
+                    help="checkpoint .npz to resume from")
+    args = ap.parse_args(argv)
+    cfg = config_from_args(args)
+
+    t0 = time.time()
+    setup = runner.setup_run(cfg, setfl=args.setfl)
+    if args.restart:
+        from neuralmelting_tpu.io import checkpoint as ckpt
+        states, slot_of, cfg_json, _ = ckpt.load(args.restart)
+        import dataclasses
+        setup = dataclasses.replace(setup, states=states, slot_of=slot_of)
+        print(f"resumed from {args.restart}")
+    os.makedirs(args.outdir, exist_ok=True)
+    ckpath = os.path.join(args.outdir, f"{cfg.name}.{cfg.element.lower()}.ckpt.npz")
+    setup, recs, frames, hist, xacc, diag = runner.run_sampling(
+        setup, outdir=args.outdir, checkpoint_path=ckpath,
+        write_traj=not args.no_traj)
+    import numpy as np
+    nmoves = int(np.asarray(setup.states.ntp).sum())
+    print(json.dumps({
+        "outdir": args.outdir, "records": int(cfg.nsmpl),
+        "replicas": int(len(setup.press) * len(setup.temp)),
+        "natoms": setup.natoms, "diag": int(diag),
+        "exchange_acceptances": [int(x) for x in np.asarray(xacc)],
+        "seconds": round(time.time() - t0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Structural features on device: g(r), S(q), density.
+
+TPU-native replacement for the reference's lammps_rdf.py (SURVEY.md §2.5,
+§3.2): pairwise minimum-image distances -> radial histogram -> ideal-gas
+shell normalization; the structure factor follows from the Fourier sine
+transform of g(r)-1. Frames are processed vmapped straight from the
+device-resident trajectory stack, so featurization never leaves HBM
+(BASELINE north star). Distance work is row-blocked like the neighbor
+build to keep peak memory O(block * N).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralmelting_tpu.ops.neighbors import _mi
+
+
+def rdf_hist(pos, box, nbins: int, rmax: float, row_block: int = 0):
+    """Radial distribution g(r) for one frame.
+
+    Returns (g, counts): g (nbins,) normalized by the ideal-gas shell
+    occupancy; counts (nbins,) raw unordered pair counts.
+    Valid for rmax <= min(box)/2 (minimum image).
+    """
+    n = pos.shape[0]
+    if row_block <= 0:
+        row_block = max(8, min(n, (1 << 21) // max(n, 1)))
+    nblocks = -(-n // row_block)
+    npad = nblocks * row_block
+    dr = rmax / nbins
+
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    if npad != n:
+        pad = jnp.full((npad - n,), 1e30, pos.dtype)
+        rx = jnp.concatenate([px, pad])
+        ry = jnp.concatenate([py, pad])
+        rz = jnp.concatenate([pz, pad])
+    else:
+        rx, ry, rz = px, py, pz
+
+    def block_fn(start):
+        bx = jax.lax.dynamic_slice(rx, (start,), (row_block,))[:, None]
+        by = jax.lax.dynamic_slice(ry, (start,), (row_block,))[:, None]
+        bz = jax.lax.dynamic_slice(rz, (start,), (row_block,))[:, None]
+        dx = _mi(bx - px[None, :], box[0])
+        dy = _mi(by - py[None, :], box[1])
+        dz = _mi(bz - pz[None, :], box[2])
+        r2 = dx * dx + dy * dy + dz * dz
+        gidx = start + jnp.arange(row_block)[:, None]
+        mask = (jnp.arange(n)[None, :] != gidx) & (r2 < rmax * rmax)
+        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        bins = jnp.clip((r / dr).astype(jnp.int32), 0, nbins - 1)
+        upd = jnp.where(mask, 1.0, 0.0)
+        return jnp.zeros((nbins,), jnp.float32).at[bins.reshape(-1)].add(
+            upd.reshape(-1))
+
+    starts = jnp.arange(nblocks) * row_block
+    counts = jnp.sum(jax.lax.map(block_fn, starts), axis=0) * 0.5
+
+    vol = jnp.prod(box)
+    rho = n / vol
+    edges = jnp.arange(nbins + 1, dtype=jnp.float32) * dr
+    shell = (4.0 / 3.0) * jnp.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+    ideal = 0.5 * n * rho * shell  # unordered ideal-gas pair count per shell
+    g = counts / jnp.maximum(ideal, 1e-30)
+    return g, counts
+
+
+def rdf_frames(positions, boxes, nbins: int, rmax: float):
+    """g(r) stacked over frames: positions (F,N,3), boxes (F,3) -> (F,nbins)."""
+    f = jax.vmap(lambda p, b: rdf_hist(p, b, nbins, rmax)[0])
+    return f(positions, boxes)
+
+
+def structure_factor(g, box, natoms, rmax: float, nq: int = 0, qmax: float = 0.0):
+    """S(q) from g(r) via S(q) = 1 + 4 pi rho int r^2 (g-1) sinc(qr) dr.
+
+    g: (..., nbins); box (..., 3). Returns (q (nq,), S (..., nq)).
+    """
+    nbins = g.shape[-1]
+    dr = rmax / nbins
+    r = (jnp.arange(nbins, dtype=jnp.float32) + 0.5) * dr
+    vol = jnp.prod(box, axis=-1)[..., None]
+    rho = natoms / vol
+    if nq <= 0:
+        nq = nbins // 2
+    if qmax <= 0.0:
+        qmax = jnp.pi / dr * 0.5
+    q = jnp.linspace(2.0 * jnp.pi / rmax, qmax, nq)
+    qr = q[None, :] * r[:, None]                     # (nbins, nq)
+    sinc = jnp.sin(qr) / qr
+    integrand = (g - 1.0)[..., :, None] * (r * r)[:, None] * sinc
+    s = 1.0 + 4.0 * jnp.pi * rho * dr * jnp.sum(integrand, axis=-2)
+    return q, s
+
+
+def density(boxes, natoms):
+    """Number density per frame: boxes (..., 3) -> (...)."""
+    return natoms / jnp.prod(boxes, axis=-1)

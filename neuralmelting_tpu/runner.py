@@ -1,0 +1,186 @@
+"""Host-side run orchestration: config -> ensemble -> chunks -> files.
+
+The library equivalent of the reference's lammps_remcmc.py __main__
+(SURVEY.md §3.1): builds the potential and replica ensemble from a
+RunConfig, advances it in jitted chunks with tempering, and writes the
+reference-style per-(P,T)-slot .thrm/.traj files plus a restartable
+checkpoint. The fused never-leaves-HBM path is neuralmelting_tpu.pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tempfile
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralmelting_tpu import units
+from neuralmelting_tpu.config import ELEMENTS, RunConfig, grids
+from neuralmelting_tpu.io import checkpoint as ckpt
+from neuralmelting_tpu.io import naming, thermo, traj
+from neuralmelting_tpu.models import eam as eam_mod
+from neuralmelting_tpu.models import eam_gen
+from neuralmelting_tpu.models.lattice import make_supercell
+from neuralmelting_tpu.models.lj import LJCut
+from neuralmelting_tpu.ops import cells as cells_ops
+from neuralmelting_tpu.ops import potential_ops as PO
+from neuralmelting_tpu.parallel import ensemble as ENS
+from neuralmelting_tpu.sampler.driver import ThermoRecord
+from neuralmelting_tpu.sampler.state import ensemble_init
+
+
+@dataclasses.dataclass
+class RunSetup:
+    cfg: RunConfig
+    pot: object
+    style: str
+    us: units.UnitSystem
+    mass: float
+    press: np.ndarray          # (npress,)
+    temp: np.ndarray           # (ntemp,)
+    t_grid: jnp.ndarray        # (R,) slot temps
+    p_grid: jnp.ndarray        # (R,) slot pressures
+    states: object
+    nls: object
+    aux: object
+    cap: int
+    cellcfg: object
+    table: jnp.ndarray
+    slot_of: jnp.ndarray
+    natoms: int
+
+
+def build_potential(cfg: RunConfig, setfl: Optional[str] = None):
+    el = ELEMENTS[cfg.element]
+    spec = el.potential
+    if spec.style == "lj/cut":
+        return LJCut.create(spec.eps, spec.sigma, spec.rc), "pair"
+    path = setfl or spec.setfl
+    if path is None:
+        # no table supplied: generate the synthetic Al table
+        path = os.path.join(tempfile.gettempdir(),
+                            "nm_synthetic_Al.eam.alloy")
+        if not os.path.exists(path):
+            eam_gen.write_setfl(path)
+    return eam_mod.load(path), "eam"
+
+
+def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
+              stride: int = 0) -> RunSetup:
+    el = ELEMENTS[cfg.element]
+    us = units.get(el.units)
+    pot, style = build_potential(cfg, setfl)
+    press, temp = grids(cfg)
+    npress, ntemp = len(press), len(temp)
+    r = npress * ntemp
+    t_grid = jnp.asarray(np.tile(temp, npress), jnp.float32)
+    p_grid = jnp.asarray(np.repeat(press, ntemp), jnp.float32)
+
+    pos, box = make_supercell(el.lattice, el.lat_const, cfg.ncells)
+    n = len(pos)
+    states = ensemble_init(
+        pot, pos, box, cfg.seed, t_grid, p_grid,
+        dpos0=cfg.dpos0, dvol_frac0=cfg.dvol0, dt0=el.dt,
+        energy_fn=lambda p_, a, b: (jnp.zeros(()), jnp.zeros(())))
+
+    if stride <= 0:
+        stride = 4 if style == "pair" else 2
+    rng = eam_mod.interaction_range(pot)
+    cellcfg = cells_ops.make_cell_config(box, rng, stride=stride,
+                                         dpos_cap=0.25)
+    cap = cfg.max_neighbors if cfg.max_neighbors > 0 else None
+    nls, cap = ENS.build_ensemble_nl(pot, states, skin=cfg.skin,
+                                     capacity=cap)
+    aux = ENS.build_ensemble_aux(pot, states, nls)
+    pops = PO.ops_for_style(style)
+    pe, vir = jax.vmap(lambda p, b, nl: pops.total(pot, p, b, nl))(
+        states.pos, states.box, nls)
+    states = states.replace(pe=pe, virial=vir)
+    return RunSetup(cfg=cfg, pot=pot, style=style, us=us, mass=el.mass,
+                    press=press, temp=temp, t_grid=t_grid, p_grid=p_grid,
+                    states=states, nls=nls, aux=aux, cap=cap,
+                    cellcfg=cellcfg, table=jnp.asarray(cellcfg.active_table),
+                    slot_of=jnp.arange(r, dtype=jnp.int32), natoms=n)
+
+
+def nvol_per_sweep(cfg: RunConfig, natoms: int) -> int:
+    """Volume attempts per sweep from the reference's per-move probability,
+    capped so full-energy recomputes don't dominate at large N."""
+    return max(1, min(4, int(round(cfg.pvol * natoms / 32))))
+
+
+def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
+                 write_files: bool = True, checkpoint_path: Optional[str] = None,
+                 nrecords: Optional[int] = None, write_traj: bool = True):
+    """Advance the ensemble nrecords blocks; write per-slot text outputs.
+
+    Returns (setup, recs, frames, hist, xacc, diag) with recs fields
+    (nrec, R) replica-ordered and hist (nrec, R) the replica->slot map.
+    """
+    cfg = setup.cfg
+    npress, ntemp = len(setup.press), len(setup.temp)
+    nrecords = nrecords or cfg.nsmpl
+    nvol = nvol_per_sweep(cfg, setup.natoms)
+    nhmc = 1 if cfg.phmc > 0 else 0
+
+    run = ENS.make_ensemble_run_fn(
+        setup.us.kb, setup.us.p2e, setup.cellcfg, skin=cfg.skin,
+        capacity=setup.cap, mod=cfg.mod, nrecords=nrecords,
+        nvol=nvol, nhmc=nhmc, nstps=cfg.nstps, mass=setup.mass,
+        factor=cfg.adapt_factor,
+        targets=(cfg.acc_target_pos, cfg.acc_target_vol, cfg.acc_target_hmc),
+        natoms=setup.natoms, exchange=True, npress=npress, ntemp=ntemp,
+        style=setup.style, write_traj=write_traj)
+
+    out = run(setup.states, setup.nls, setup.aux, setup.slot_of,
+              jax.random.key(cfg.seed + 1), setup.pot, setup.table,
+              setup.t_grid, setup.p_grid)
+    states, nls, aux, slot_of, recs, frames, hist, xacc, diag = out
+    jax.block_until_ready(states.pos)
+    setup = dataclasses.replace(setup, states=states, nls=nls, aux=aux,
+                                slot_of=slot_of)
+
+    if write_files and outdir is not None:
+        os.makedirs(outdir, exist_ok=True)
+        write_slot_files(cfg, outdir, recs, frames, hist,
+                         npress, ntemp, setup.natoms)
+    if checkpoint_path:
+        ckpt.save(checkpoint_path, states, slot_of, cfg.to_json())
+    return setup, recs, frames, hist, xacc, diag
+
+
+def write_slot_files(cfg: RunConfig, outdir: str, recs: ThermoRecord,
+                     frames, hist, npress: int, ntemp: int, natoms: int):
+    """Distribute replica-ordered records into per-(P,T)-slot text files."""
+    el = ELEMENTS[cfg.element]
+    hist = np.asarray(hist)                      # (nrec, R) replica->slot
+    nrec, r = hist.shape
+    rec_np = {k: np.asarray(getattr(recs, k)) for k in thermo.COLUMNS}
+    if frames is not None:
+        pos_np = np.asarray(frames[0])           # (nrec, R, N, 3)
+        box_np = np.asarray(frames[1])           # (nrec, R, 3)
+
+    for slot in range(r):
+        p_idx, t_idx = divmod(slot, ntemp)
+        prefix = naming.sample_prefix(cfg.name, cfg.element, el.lattice,
+                                      cfg.ncells, p_idx, t_idx)
+        tpath, jpath = naming.sample_paths(outdir, prefix)
+        # rows of this slot: for each record k, the replica holding `slot`
+        rows = {c: np.empty((nrec,)) for c in thermo.COLUMNS}
+        sel = np.empty((nrec,), np.int64)
+        for k in range(nrec):
+            sel[k] = int(np.argmax(hist[k] == slot))
+        for c in thermo.COLUMNS:
+            rows[c] = rec_np[c][np.arange(nrec), sel]
+        params = {"element": cfg.element, "natoms": natoms,
+                  "press_idx": p_idx, "temp_idx": t_idx,
+                  "config": cfg.to_json()}
+        thermo.write(tpath, rows, params=params)
+        if frames is not None and cfg.write_traj:
+            traj.write(jpath, pos_np[np.arange(nrec), sel],
+                       box_np[np.arange(nrec), sel],
+                       sweeps=rows["sweep"].astype(np.int64))
