@@ -4,12 +4,24 @@ vmapped 8x8 (P,T) replica grid on one chip; metric = attempted MC moves/sec.
 
 Target (BASELINE.md): >= 1.0e8 attempted moves/sec/chip.
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Uses the dense (ghost + MXU matmul) sampler — on this TPU stack dynamic
+gathers run at ~0.06 G elem/s and every lax.scan iteration carries a
+~0.4 ms floor, so trial energies are computed as batched matmuls against a
+ghost-extended position set (docs/tpu_notes.md, sampler/dense.py).
+
+CRITICAL discipline (docs/tpu_notes.md §0): this process performs ZERO
+device-to-host readbacks until all timed device work has completed — a
+single float()/np.asarray() of a TPU array would permanently degrade the
+process. block_until_ready does not reliably block before the first
+readback on this stack, so timing covers several chunks and ends with a
+forced readback barrier; the warmup chunk's cost is excluded via the
+two-point (N1, N2) slope.
 """
 
 import json
 import sys
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -19,12 +31,11 @@ sys.path.insert(0, "/root/repo")
 from neuralmelting_tpu.models.lattice import make_supercell
 from neuralmelting_tpu.models.lj import LJCut
 from neuralmelting_tpu.ops import cells as cells_ops
-from neuralmelting_tpu.ops import neighbors as NB
-from neuralmelting_tpu.parallel import ensemble as ENS
-from neuralmelting_tpu.sampler import checkerboard as CB
+from neuralmelting_tpu.ops import ghosts as GH
+from neuralmelting_tpu.sampler import dense as DS
 from neuralmelting_tpu.sampler.state import ensemble_init
 
-N_SWEEPS = 50
+SWEEPS_PER_CHUNK = 10
 BASELINE_TARGET = 1.0e8
 
 
@@ -40,61 +51,74 @@ def main():
 
     states = ensemble_init(pot, pos, box, 1234, t_grid, p_grid,
                            dpos0=0.11, dvol_frac0=0.002, dt0=0.005)
-    cellcfg = cells_ops.make_cell_config(box, float(pot.rc), stride=4,
+    cellcfg = cells_ops.make_cell_config(box, pot.rc_host, stride=4,
                                          dpos_cap=0.25)
-    nls, cap = ENS.build_ensemble_nl(pot, states, skin=0.4)
-    npasses = CB.default_npasses(n, cellcfg)
+    shell = pot.rc_host + 0.4
+    gcap = GH.suggest_gcap(n, box, shell)
+    gms = DS.build_ensemble_ghosts(states, shell, gcap)
+    npasses = max(1, -(-n // cellcfg.ncells_total))
 
-    aux = ENS.build_ensemble_aux(pot, states, nls)
-    sweep = CB.make_cb_sweep_fn(1.0, 1.0, cellcfg,
-                                npasses=npasses, nvol=1)
-    vsweep = jax.vmap(sweep, in_axes=(None, None, 0, 0, 0))
+    sweep = DS.make_dense_sweep_fn(1.0, 1.0, cellcfg,
+                                   npasses=npasses, nvol=1)
+    vsweep = jax.vmap(sweep, in_axes=(None, None, 0, 0))
     table = jnp.asarray(cellcfg.active_table)
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def run_chunk(states, nls, aux, pot, table):
-        rlist = pot.rc + 0.4
-        vbuild = jax.vmap(lambda p, b: NB.build(p, b, rlist, cap))
-        vstale = jax.vmap(
-            lambda nl, p, b: NB.needs_rebuild(nl, p, b, pot.rc))
-
+    @jax.jit
+    def chunk(states, gms, pot, table):
         def body(carry, _):
-            s, nl, ax = carry
-            s, ax, _ = vsweep(pot, table, s, nl, ax)
-            stale = vstale(nl, s.pos, s.box)
-            nl = jax.lax.cond(jnp.any(stale),
-                              lambda: vbuild(s.pos, s.box),
-                              lambda: nl)
-            return (s, nl, ax), None
+            s, g, d = carry
+            s, g, ds = vsweep(pot, table, s, g)
+            d = d | jnp.max(ds)
+            stale = jax.vmap(lambda gg: GH.needs_rebuild(gg, pot.rc))(g)
+            g = jax.lax.cond(
+                jnp.any(stale),
+                lambda: jax.vmap(
+                    lambda gg, b: GH.rewrap_rebuild(gg, b, shell, gcap)
+                )(g, s.box),
+                lambda: g)
+            return (s, g, d), None
 
-        (states, nls, aux), _ = jax.lax.scan(body, (states, nls, aux), None,
-                                             length=N_SWEEPS)
-        return states, nls, aux
+        (states, gms, diag), _ = jax.lax.scan(
+            body, (states, gms, jnp.zeros((), jnp.int32)), None,
+            length=SWEEPS_PER_CHUNK)
+        return states, gms, diag
 
-    def tries(states):
-        return int(jnp.sum(states.ntp) + jnp.sum(states.ntv)
-                   + jnp.sum(states.nth))
-
-    # warmup/compile + equilibrate off the lattice
-    states, nls, aux = run_chunk(states, nls, aux, pot, table)
+    # warmup/compile + equilibrate (block may lie pre-readback; that's fine,
+    # the slope below subtracts everything enqueued before t1)
+    states, gms, diag = chunk(states, gms, pot, table)
     jax.block_until_ready(states.pos)
 
-    t0 = tries(states)
-    start = time.perf_counter()
-    states, nls, aux = run_chunk(states, nls, aux, pot, table)
-    jax.block_until_ready(states.pos)
-    dt = time.perf_counter() - start
+    n1, n2 = 2, 6
+    for _ in range(n1):
+        states, gms, diag = chunk(states, gms, pot, table)
+    ntp_a = states.ntp + 0          # device-side counter snapshot (no readback)
+    ntv_a = states.ntv + 0
+    _ = float(jnp.sum(states.pos))  # forced completion (first readback)
+    t1 = time.perf_counter()
+    for _ in range(n2 - n1):
+        states, gms, diag = chunk(states, gms, pot, table)
+    _ = float(jnp.sum(states.pos))  # honest barrier (post-readback)
+    t2 = time.perf_counter()
 
-    attempted = tries(states) - t0
-    rate = attempted / dt
+    # ---- timed region over; full readbacks now allowed ----
+    diag_v = int(diag)
+    sweeps_total = int(states.sweep[0])
+    attempted = int(jnp.sum(states.ntp - ntp_a) + jnp.sum(states.ntv - ntv_a))
+    dt_chunk = (t2 - t1) / (n2 - n1)
+    rate = attempted / (t2 - t1)
     print(json.dumps({
         "metric": "mc_attempted_moves_per_sec_per_chip",
         "value": rate,
         "unit": "moves/s",
         "vs_baseline": rate / BASELINE_TARGET,
         "detail": {
-            "natoms": n, "replicas": r, "sweeps": N_SWEEPS,
-            "attempted_moves": attempted, "seconds": dt,
+            "natoms": n, "replicas": r,
+            "sweeps_per_chunk": SWEEPS_PER_CHUNK,
+            "attempted_moves": attempted,
+            "sec_per_chunk": dt_chunk,
+            "sweeps_total": sweeps_total,
+            "diag": diag_v,
+            "engine": "dense-mxu-ghost",
             "device": str(jax.devices()[0]),
         },
     }))

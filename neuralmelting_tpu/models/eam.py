@@ -40,6 +40,8 @@ class EAMAlloy:
     f_coef: jnp.ndarray      # (4, nrho-1) embedding F(rho)
     rho_coef: jnp.ndarray    # (4, nr-1) density rho(r)
     rphi_coef: jnp.ndarray   # (4, nr-1) r*phi(r)
+    # static host-side copy of rc (docs/tpu_notes.md §0)
+    rc_host: float = struct.field(pytree_node=False, default=6.0)
 
     @property
     def kind(self) -> str:
@@ -134,6 +136,7 @@ def from_setfl(data: SetflData) -> EAMAlloy:
         f_coef=jnp.asarray(_natural_cubic_coefs(data.f_rho)),
         rho_coef=jnp.asarray(_natural_cubic_coefs(data.rho_r)),
         rphi_coef=jnp.asarray(_natural_cubic_coefs(data.rphi_r)),
+        rc_host=float(data.rc),
     )
 
 
@@ -160,6 +163,10 @@ def spline_eval(coef, dx, x):
 
 
 def interaction_range(pot) -> float:
-    """Cell-decomposition independence range (static, host side)."""
-    rc = float(pot.rc)
+    """Cell-decomposition independence range (static, host side).
+
+    Uses the static rc_host field — reading back pot.rc from the device
+    would poison the process (docs/tpu_notes.md §0).
+    """
+    rc = float(pot.rc_host)
     return 2.0 * rc if getattr(pot, "kind", "pair") == "eam" else rc

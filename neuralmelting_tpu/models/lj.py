@@ -18,6 +18,9 @@ class LJCut:
     eps: jnp.ndarray
     sigma: jnp.ndarray
     rc: jnp.ndarray
+    # static host-side copy of rc: host math must NEVER read back the
+    # device scalar (docs/tpu_notes.md §0)
+    rc_host: float = struct.field(pytree_node=False, default=2.5)
 
     @property
     def kind(self) -> str:
@@ -30,6 +33,7 @@ class LJCut:
             eps=jnp.asarray(eps, dtype),
             sigma=jnp.asarray(sigma, dtype),
             rc=jnp.asarray(rc, dtype),
+            rc_host=float(rc),
         )
 
     def pair_e_w(self, r2):

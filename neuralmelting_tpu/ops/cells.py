@@ -93,9 +93,10 @@ def bin_particles(pos, box, ncell, shift_frac):
     c2 = jnp.minimum((frac[:, 2] * n2).astype(jnp.int32), n2 - 1)
     cid = (c0 * n1 + c1) * n2 + c2
     order = jnp.argsort(cid).astype(jnp.int32)
-    scid = cid[order]
     c_total = n0 * n1 * n2
-    cells = jnp.arange(c_total, dtype=jnp.int32)
-    start = jnp.searchsorted(scid, cells, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(scid, cells, side="right").astype(jnp.int32)
-    return order, start, end - start
+    # bincount + exclusive cumsum instead of searchsorted (4x cheaper on
+    # this stack)
+    count = jnp.bincount(cid, length=c_total).astype(jnp.int32)
+    csum = jnp.cumsum(count)
+    start = (csum - count).astype(jnp.int32)
+    return order, start, count

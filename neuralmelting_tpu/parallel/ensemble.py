@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from neuralmelting_tpu.ops import neighbors as NB
 from neuralmelting_tpu.ops import potential_ops as PO
@@ -163,17 +164,21 @@ def make_ensemble_run_fn(kb, p2e, cellcfg, skin: float, capacity: int,
 
 
 def build_ensemble_nl(pot, states, skin: float,
-                      capacity: Optional[int] = None):
+                      capacity: Optional[int] = None, box_host=None):
     """Build per-replica neighbor lists for a batched MCState.
 
     NOTE: a run fn compiled by make_ensemble_run_fn is specialized to one
     static capacity. When rebuilding lists for an existing run fn, pass the
     capacity it was compiled with — auto-suggestion depends on the current
-    density and may differ.
+    density and may differ. Auto-suggestion needs ``box_host`` (a HOST-side
+    numpy box) when states live on a TPU: reading states.box back would
+    poison the process (docs/tpu_notes.md §0).
     """
     if capacity is None:
+        if box_host is None:
+            box_host = np.asarray(states.box)[0]  # CPU-resident states only
         capacity = NB.suggest_capacity(states.pos.shape[-2],
-                                       states.box[0], float(pot.rc) + skin)
+                                       box_host, pot.rc_host + skin)
     rlist = pot.rc + skin
     return jax.vmap(lambda p, b: NB.build(p, b, rlist, capacity))(
         states.pos, states.box), capacity

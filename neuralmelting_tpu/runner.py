@@ -94,7 +94,7 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
                                          dpos_cap=0.25)
     cap = cfg.max_neighbors if cfg.max_neighbors > 0 else None
     nls, cap = ENS.build_ensemble_nl(pot, states, skin=cfg.skin,
-                                     capacity=cap)
+                                     capacity=cap, box_host=box)
     aux = ENS.build_ensemble_aux(pot, states, nls)
     pops = PO.ops_for_style(style)
     pe, vir = jax.vmap(lambda p, b, nl: pops.total(pot, p, b, nl))(

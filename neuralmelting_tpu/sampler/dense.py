@@ -1,0 +1,196 @@
+"""Gather-free (dense/MXU) checkerboard NPT sampler for pair potentials.
+
+Same Markov chain as sampler/checkerboard.py, different compute mapping:
+trial energies come from batched (A,4)@(4,Next) matmuls against a
+ghost-extended position set (ops/dense_delta.py, ops/ghosts.py) instead of
+neighbor-list gathers. On this TPU stack gathers run ~0.06 G elem/s while
+the MXU sustains tens of TFLOP/s (docs/tpu_notes.md), which makes brute
+candidates cheaper than indexed neighbors by >10x.
+
+LJ/pair-only for now (EAM keeps the gather path); used by bench.py and
+selectable for production LJ runs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from neuralmelting_tpu.ops import cells as cells_ops
+from neuralmelting_tpu.ops import dense_delta as DD
+from neuralmelting_tpu.ops import ghosts as GH
+from neuralmelting_tpu.sampler.adapt import adapt_step_sizes
+from neuralmelting_tpu.sampler.driver import make_record
+
+DIAG_GHOST_OVERFLOW = 4
+
+
+def make_dense_sweep_fn(kb, p2e, cellcfg, npasses: int = 1, nvol: int = 1):
+    """Build ``sweep(pot, table, state, gm) -> (state, gm, diag)``.
+
+    ``state.pos`` is NOT maintained during sweeps — gm.pos_ext[:N]
+    (unwrapped) is authoritative; sync happens in the run fn's record step.
+    """
+    ncolors = cellcfg.ncolors
+    ncell = cellcfg.ncell
+    stride = cellcfg.stride
+
+    def one_pass(pot, table, state, gm, dpos_eff, pkey):
+        n = state.pos.shape[0]
+        ksh, kcol = jax.random.split(pkey, 2)
+        shift = jax.random.uniform(ksh, (3,), jnp.float32)
+        subkeys = jax.random.split(kcol, ncolors)
+        pos = gm.pos_ext[:n]
+        posw = pos - state.box * jnp.floor(pos / state.box)
+        sorted_ids, start, count = cells_ops.bin_particles(
+            posw, state.box, ncell, shift)
+        beta = 1.0 / (kb * state.temp)
+
+        def substep(carry, inputs):
+            st, gm = carry
+            color, skey = inputs
+            cells = table.at[color].get(mode="promise_in_bounds")
+            cnt = count.at[cells].get(mode="promise_in_bounds")
+            st0 = start.at[cells].get(mode="promise_in_bounds")
+            kpick, kdisp, kacc = jax.random.split(skey, 3)
+            m = cells.shape[0]
+            u = jax.random.uniform(kpick, (m,), jnp.float32)
+            pick = jnp.minimum((u * cnt).astype(jnp.int32),
+                               jnp.maximum(cnt - 1, 0))
+            pid = sorted_ids.at[jnp.clip(st0 + pick, 0, n - 1)].get(
+                mode="promise_in_bounds")
+            valid = cnt > 0
+
+            disp = jax.random.uniform(kdisp, (m, 3), jnp.float32,
+                                      minval=-dpos_eff, maxval=dpos_eff)
+            old_r = gm.pos_ext.at[pid].get(mode="promise_in_bounds")
+            new_r = old_r + disp
+            de, dw = DD.delta_moves_dense(pot, gm, pid, old_r, new_r)
+            ln_u = jnp.log(jax.random.uniform(kacc, (m,), jnp.float32,
+                                              1e-38, 1.0))
+            acc = valid & (ln_u < -beta * de)
+            delta = jnp.where(acc[:, None], disp, 0.0)
+            gm = GH.apply_moves(gm, st.box, pid, delta)
+            st = st.replace(
+                pe=st.pe + jnp.sum(jnp.where(acc, de, 0.0)),
+                virial=st.virial + jnp.sum(jnp.where(acc, dw, 0.0)),
+                nap=st.nap + jnp.sum(acc).astype(jnp.int32),
+                ntp=st.ntp + jnp.sum(valid).astype(jnp.int32),
+            )
+            return (st, gm), None
+
+        (state, gm), _ = jax.lax.scan(substep, (state, gm),
+                                      (jnp.arange(ncolors), subkeys))
+        return state, gm
+
+    def volume_move(pot, state, gm, key):
+        n = state.pos.shape[0]
+        kd, ka = jax.random.split(key, 2)
+        u = jax.random.uniform(kd, (), jnp.float32)
+        vol = jnp.prod(state.box)
+        dv = state.dvol * (2.0 * u - 1.0)
+        vol_new = vol + dv
+        ok = vol_new > 0.0
+        s = jnp.where(ok, jnp.cbrt(vol_new / vol), 1.0)
+        gm_s = GH.scaled(gm, s)
+        pe_new, vir_new = DD.total_energy_virial_dense(pot, gm_s, n)
+        beta = 1.0 / (kb * state.temp)
+        ln_acc = (-beta * ((pe_new - state.pe) + state.press * p2e * dv)
+                  + n * jnp.log(jnp.where(ok, vol_new / vol, 1.0)))
+        ln_u = jnp.log(jax.random.uniform(ka, (), jnp.float32, 1e-38, 1.0))
+        acc = ok & (ln_u < ln_acc)
+        gm = jax.tree.map(lambda a, b: jnp.where(acc, a, b), gm_s, gm)
+        return state.replace(
+            box=jnp.where(acc, state.box * s, state.box),
+            pe=jnp.where(acc, pe_new, state.pe),
+            virial=jnp.where(acc, vir_new, state.virial),
+            nav=state.nav + acc.astype(jnp.int32),
+            ntv=state.ntv + 1,
+        ), gm
+
+    def sweep(pot, table, state, gm):
+        key, kpass, kvol = jax.random.split(state.key, 3)
+        state = state.replace(key=key)
+        w_min = jnp.minimum(
+            state.box[0] / ncell[0],
+            jnp.minimum(state.box[1] / ncell[1], state.box[2] / ncell[2]))
+        margin = (stride - 1) * w_min - pot.rc
+        dpos_eff = jnp.minimum(state.dpos, 0.5 * margin)
+        diag = jnp.where(margin <= 0.0, 2, 0).astype(jnp.int32)
+
+        def pass_body(carry, pk):
+            st, gm = carry
+            return one_pass(pot, table, st, gm, dpos_eff, pk), None
+
+        (state, gm), _ = jax.lax.scan(pass_body, (state, gm),
+                                      jax.random.split(kpass, npasses))
+        for v in range(nvol):
+            state, gm = volume_move(pot, state, gm,
+                                    jax.random.fold_in(kvol, v))
+        diag = diag | jnp.where(gm.overflow, DIAG_GHOST_OVERFLOW,
+                                0).astype(jnp.int32)
+        return state.replace(sweep=state.sweep + 1), gm, diag
+
+    return sweep
+
+
+def make_dense_run_fn(kb, p2e, cellcfg, shell: float, gcap: int,
+                      mod: int, nrecords: int, npasses: int = 1,
+                      nvol: int = 1, targets=(0.5, 0.5, 0.5),
+                      factor: float = 1.0625, write_traj: bool = False,
+                      jit: bool = True):
+    """Vmapped dense-ensemble runner (no exchange; bench/production LJ).
+
+    ``run(states, gms, pot, table) -> (states, gms, recs, frames, diag)``.
+    """
+    sweep = make_dense_sweep_fn(kb, p2e, cellcfg, npasses=npasses, nvol=nvol)
+    vsweep = jax.vmap(sweep, in_axes=(None, None, 0, 0))
+
+    def sweep_step(pot, table, carry):
+        states, gms, diag = carry
+        states, gms, d = vsweep(pot, table, states, gms)
+        diag = diag | jnp.max(d)
+        stale = jax.vmap(lambda g: GH.needs_rebuild(g, pot.rc))(gms)
+        gms = jax.lax.cond(
+            jnp.any(stale),
+            lambda: jax.vmap(
+                lambda g, b: GH.rewrap_rebuild(g, b, shell, gcap)
+            )(gms, states.box),
+            lambda: gms)
+        return states, gms, diag
+
+    def run(states, gms, pot, table):
+        n = states.pos.shape[-2]
+
+        def record_block(carry, _):
+            states, gms, diag = carry
+            (states, gms, diag), _ = jax.lax.scan(
+                lambda c, _: (sweep_step(pot, table, c), None),
+                (states, gms, diag), None, length=mod)
+            # sync positions + drift-free energies at record points
+            pe, vir = jax.vmap(
+                lambda g: DD.total_energy_virial_dense(pot, g, n))(gms)
+            posw = jax.vmap(
+                lambda g, b: (lambda p: p - b * jnp.floor(p / b))(
+                    g.pos_ext[:n]))(gms, states.box)
+            states = states.replace(pe=pe, virial=vir, pos=posw)
+            rec = jax.vmap(lambda s: make_record(s, kb))(states)
+            states = jax.vmap(
+                lambda s: adapt_step_sizes(s, targets=targets,
+                                           factor=factor))(states)
+            frame = (states.pos, states.box) if write_traj else ()
+            return (states, gms, diag), (rec, frame)
+
+        diag0 = jnp.zeros((), jnp.int32)
+        (states, gms, diag), (recs, frames) = jax.lax.scan(
+            record_block, (states, gms, diag0), None, length=nrecords)
+        return states, gms, recs, (frames if write_traj else None), diag
+
+    if jit:
+        run = jax.jit(run, donate_argnums=(0, 1))
+    return run
+
+
+def build_ensemble_ghosts(states, shell: float, gcap: int):
+    return jax.vmap(lambda p, b: GH.build(p, b, shell, gcap))(
+        states.pos, states.box)
