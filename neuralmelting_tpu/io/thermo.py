@@ -11,9 +11,12 @@ the reference's append-only thermo output (SURVEY.md §5 checkpoint row).
 
 from __future__ import annotations
 
+import io as _io
 from typing import Dict, Optional
 
 import numpy as np
+
+from neuralmelting_tpu.io import native
 
 COLUMNS = ("sweep", "temp", "press", "pe", "ke", "virial", "vol",
            "acc_pos", "acc_vol", "acc_hmc", "dpos", "dvol", "dt")
@@ -40,6 +43,14 @@ def append_records(f, records: Dict[str, np.ndarray]):
 
 def write(path: str, records: Dict[str, np.ndarray],
           params: Optional[Dict] = None, append: bool = False):
+    # native fast path (byte-identical; io/native), Python fallback below
+    cols = [np.asarray(records[c], np.float64).reshape(-1) for c in COLUMNS]
+    data = np.stack(cols, axis=1)
+    hdr = _io.StringIO()
+    if not append:
+        write_header(hdr, params)
+    if native.write_thermo_rows(path, data, hdr.getvalue(), append):
+        return
     mode = "a" if append else "w"
     with open(path, mode) as f:
         if not append:

@@ -13,17 +13,25 @@ from typing import List, Tuple
 
 import numpy as np
 
+from neuralmelting_tpu.io import native
+
 MAGIC = "# nm-traj-1"
 
 
 def write(path: str, positions: np.ndarray, boxes: np.ndarray,
           sweeps=None, append: bool = False):
-    """positions: (nframes, N, 3); boxes: (nframes, 3)."""
+    """positions: (nframes, N, 3); boxes: (nframes, 3).
+
+    Uses the native C++ writer when available (byte-identical output;
+    io/native), falling back to this pure-Python reference implementation.
+    """
     positions = np.asarray(positions)
     boxes = np.asarray(boxes)
     nframes, natoms, _ = positions.shape
     if sweeps is None:
         sweeps = np.zeros((nframes,), np.int64)
+    if native.write_traj(path, positions, boxes, sweeps, append):
+        return
     mode = "a" if append else "w"
     with open(path, mode) as f:
         if not append:
@@ -37,7 +45,14 @@ def write(path: str, positions: np.ndarray, boxes: np.ndarray,
 
 
 def read(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Parse a .traj file -> (positions (F,N,3), boxes (F,3), sweeps (F,))."""
+    """Parse a .traj file -> (positions (F,N,3), boxes (F,3), sweeps (F,)).
+
+    Native C++ parser when available (values f32-exact, the writer's own
+    precision); pure-Python fallback below.
+    """
+    out = native.read_traj(path)
+    if out is not None:
+        return out
     frames: List[np.ndarray] = []
     boxes: List[np.ndarray] = []
     sweeps: List[int] = []
