@@ -37,9 +37,12 @@ def main(argv=None):
         print(f"resumed from {args.restart}")
     os.makedirs(args.outdir, exist_ok=True)
     ckpath = os.path.join(args.outdir, f"{cfg.name}.{cfg.element.lower()}.ckpt.npz")
+    from neuralmelting_tpu.utils import MetricsLogger
+    metrics = MetricsLogger(os.path.join(args.outdir, "metrics.jsonl"),
+                            run_id=cfg.name)
     setup, recs, frames, hist, xacc, diag = runner.run_sampling(
         setup, outdir=args.outdir, checkpoint_path=ckpath,
-        write_traj=not args.no_traj)
+        write_traj=not args.no_traj, metrics=metrics)
     import numpy as np
     nmoves = int(np.asarray(setup.states.ntp).sum())
     print(json.dumps({

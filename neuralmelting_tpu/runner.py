@@ -115,7 +115,8 @@ def nvol_per_sweep(cfg: RunConfig, natoms: int) -> int:
 
 def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                  write_files: bool = True, checkpoint_path: Optional[str] = None,
-                 nrecords: Optional[int] = None, write_traj: bool = True):
+                 nrecords: Optional[int] = None, write_traj: bool = True,
+                 metrics=None):
     """Advance the ensemble nrecords blocks; write per-slot text outputs.
 
     Returns (setup, recs, frames, hist, xacc, diag) with recs fields
@@ -136,11 +137,20 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
         natoms=setup.natoms, exchange=True, npress=npress, ntemp=ntemp,
         style=setup.style, write_traj=write_traj)
 
+    import time as _time
+    _t0 = _time.time()
     out = run(setup.states, setup.nls, setup.aux, setup.slot_of,
               jax.random.key(cfg.seed + 1), setup.pot, setup.table,
               setup.t_grid, setup.p_grid)
     states, nls, aux, slot_of, recs, frames, hist, xacc, diag = out
     jax.block_until_ready(states.pos)
+    if metrics is not None:
+        import numpy as _np
+        metrics.log("sampling_chunk",
+                    records=int(nrecords), replicas=int(hist.shape[1]),
+                    natoms=setup.natoms, seconds=round(_time.time() - _t0, 3),
+                    diag=int(diag),
+                    exchange_acc=[int(x) for x in _np.asarray(xacc)])
     setup = dataclasses.replace(setup, states=states, nls=nls, aux=aux,
                                 slot_of=slot_of)
 
