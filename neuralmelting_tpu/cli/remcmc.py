@@ -22,13 +22,16 @@ def main(argv=None):
     add_run_args(ap)
     ap.add_argument("-o", "--outdir", default="output")
     ap.add_argument("--no-traj", action="store_true")
+    ap.add_argument("--engine", default="gather",
+                    choices=("gather", "dense"),
+                    help="dense = gather-free MXU sampler (LJ only)")
     ap.add_argument("--restart", default=None,
                     help="checkpoint .npz to resume from")
     args = ap.parse_args(argv)
     cfg = config_from_args(args)
 
     t0 = time.time()
-    setup = runner.setup_run(cfg, setfl=args.setfl)
+    setup = runner.setup_run(cfg, setfl=args.setfl, engine=args.engine)
     if args.restart:
         from neuralmelting_tpu.io import checkpoint as ckpt
         states, slot_of, cfg_json, _ = ckpt.load(args.restart)

@@ -61,8 +61,8 @@ def melting_pipeline(cfg: RunConfig, setfl: Optional[str] = None,
                      nbins: int = 64, scaler: str = "tanh",
                      model: str = "cnn", band: int = 0,
                      epochs: int = 400, lr: float = 2e-3,
-                     seed: int = 0) -> MeltingResult:
-    setup = runner.setup_run(cfg, setfl)
+                     seed: int = 0, engine: str = "gather") -> MeltingResult:
+    setup = runner.setup_run(cfg, setfl, engine=engine)
     box0 = np.asarray(setup.states.box[0])
     rmax = 0.48 * float(box0.min())
 

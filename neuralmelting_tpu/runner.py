@@ -27,8 +27,10 @@ from neuralmelting_tpu.models import eam_gen
 from neuralmelting_tpu.models.lattice import make_supercell
 from neuralmelting_tpu.models.lj import LJCut
 from neuralmelting_tpu.ops import cells as cells_ops
+from neuralmelting_tpu.ops import ghosts as GH
 from neuralmelting_tpu.ops import potential_ops as PO
 from neuralmelting_tpu.parallel import ensemble as ENS
+from neuralmelting_tpu.sampler import dense as DS
 from neuralmelting_tpu.sampler.driver import ThermoRecord
 from neuralmelting_tpu.sampler.state import ensemble_init
 
@@ -52,6 +54,10 @@ class RunSetup:
     table: jnp.ndarray
     slot_of: jnp.ndarray
     natoms: int
+    engine: str = "gather"          # "gather" | "dense" (pair-only)
+    gms: object = None              # GhostMap ensemble (dense engine)
+    shell: float = 0.0
+    gcap: int = 0
 
 
 def build_potential(cfg: RunConfig, setfl: Optional[str] = None):
@@ -70,7 +76,9 @@ def build_potential(cfg: RunConfig, setfl: Optional[str] = None):
 
 
 def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
-              stride: int = 0) -> RunSetup:
+              stride: int = 0, engine: str = "gather") -> RunSetup:
+    """engine="dense" uses the gather-free MXU sampler (pair potentials
+    only; ~7x faster on this TPU stack — sampler/dense.py)."""
     el = ELEMENTS[cfg.element]
     us = units.get(el.units)
     pot, style = build_potential(cfg, setfl)
@@ -100,11 +108,19 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
     pe, vir = jax.vmap(lambda p, b, nl: pops.total(pot, p, b, nl))(
         states.pos, states.box, nls)
     states = states.replace(pe=pe, virial=vir)
+    gms, shell, gcap = None, 0.0, 0
+    if engine == "dense":
+        if style != "pair":
+            raise ValueError("dense engine supports pair potentials only")
+        shell = pot.rc_host + cfg.skin
+        gcap = GH.suggest_gcap(n, box, shell)
+        gms = DS.build_ensemble_ghosts(states, shell, gcap)
     return RunSetup(cfg=cfg, pot=pot, style=style, us=us, mass=el.mass,
                     press=press, temp=temp, t_grid=t_grid, p_grid=p_grid,
                     states=states, nls=nls, aux=aux, cap=cap,
                     cellcfg=cellcfg, table=jnp.asarray(cellcfg.active_table),
-                    slot_of=jnp.arange(r, dtype=jnp.int32), natoms=n)
+                    slot_of=jnp.arange(r, dtype=jnp.int32), natoms=n,
+                    engine=engine, gms=gms, shell=shell, gcap=gcap)
 
 
 def nvol_per_sweep(cfg: RunConfig, natoms: int) -> int:
@@ -128,21 +144,39 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
     nvol = nvol_per_sweep(cfg, setup.natoms)
     nhmc = 1 if cfg.phmc > 0 else 0
 
-    run = ENS.make_ensemble_run_fn(
-        setup.us.kb, setup.us.p2e, setup.cellcfg, skin=cfg.skin,
-        capacity=setup.cap, mod=cfg.mod, nrecords=nrecords,
-        nvol=nvol, nhmc=nhmc, nstps=cfg.nstps, mass=setup.mass,
-        factor=cfg.adapt_factor,
-        targets=(cfg.acc_target_pos, cfg.acc_target_vol, cfg.acc_target_hmc),
-        natoms=setup.natoms, exchange=True, npress=npress, ntemp=ntemp,
-        style=setup.style, write_traj=write_traj)
-
     import time as _time
     _t0 = _time.time()
-    out = run(setup.states, setup.nls, setup.aux, setup.slot_of,
-              jax.random.key(cfg.seed + 1), setup.pot, setup.table,
-              setup.t_grid, setup.p_grid)
-    states, nls, aux, slot_of, recs, frames, hist, xacc, diag = out
+    if setup.engine == "dense":
+        import neuralmelting_tpu.sampler.checkerboard as CB
+        npasses = CB.default_npasses(setup.natoms, setup.cellcfg)
+        run = DS.make_dense_run_fn(
+            setup.us.kb, setup.us.p2e, setup.cellcfg, shell=setup.shell,
+            gcap=setup.gcap, mod=cfg.mod, nrecords=nrecords,
+            npasses=npasses, nvol=nvol, factor=cfg.adapt_factor,
+            targets=(cfg.acc_target_pos, cfg.acc_target_vol,
+                     cfg.acc_target_hmc),
+            exchange=True, npress=npress, ntemp=ntemp,
+            write_traj=write_traj)
+        out = run(setup.states, setup.gms, setup.slot_of,
+                  jax.random.key(cfg.seed + 1), setup.pot, setup.table,
+                  setup.t_grid, setup.p_grid)
+        states, gms, slot_of, recs, frames, hist, xacc, diag = out
+        nls, aux = setup.nls, setup.aux
+        setup = dataclasses.replace(setup, gms=gms)
+    else:
+        run = ENS.make_ensemble_run_fn(
+            setup.us.kb, setup.us.p2e, setup.cellcfg, skin=cfg.skin,
+            capacity=setup.cap, mod=cfg.mod, nrecords=nrecords,
+            nvol=nvol, nhmc=nhmc, nstps=cfg.nstps, mass=setup.mass,
+            factor=cfg.adapt_factor,
+            targets=(cfg.acc_target_pos, cfg.acc_target_vol,
+                     cfg.acc_target_hmc),
+            natoms=setup.natoms, exchange=True, npress=npress, ntemp=ntemp,
+            style=setup.style, write_traj=write_traj)
+        out = run(setup.states, setup.nls, setup.aux, setup.slot_of,
+                  jax.random.key(cfg.seed + 1), setup.pot, setup.table,
+                  setup.t_grid, setup.p_grid)
+        states, nls, aux, slot_of, recs, frames, hist, xacc, diag = out
     jax.block_until_ready(states.pos)
     if metrics is not None:
         import numpy as _np

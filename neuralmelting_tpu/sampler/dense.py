@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from neuralmelting_tpu.ops import cells as cells_ops
 from neuralmelting_tpu.ops import dense_delta as DD
 from neuralmelting_tpu.ops import ghosts as GH
+from neuralmelting_tpu.sampler import tempering
 from neuralmelting_tpu.sampler.adapt import adapt_step_sizes
 from neuralmelting_tpu.sampler.driver import make_record
 
@@ -138,10 +139,17 @@ def make_dense_run_fn(kb, p2e, cellcfg, shell: float, gcap: int,
                       mod: int, nrecords: int, npasses: int = 1,
                       nvol: int = 1, targets=(0.5, 0.5, 0.5),
                       factor: float = 1.0625, write_traj: bool = False,
-                      jit: bool = True):
-    """Vmapped dense-ensemble runner (no exchange; bench/production LJ).
+                      exchange: bool = False, npress: int = 0,
+                      ntemp: int = 0, jit: bool = True):
+    """Vmapped dense-ensemble runner (bench + production LJ).
 
-    ``run(states, gms, pot, table) -> (states, gms, recs, frames, diag)``.
+    Without exchange:
+      ``run(states, gms, pot, table) -> (states, gms, recs, frames, diag)``
+    With exchange (parallel tempering; configurations stay put, slot
+    identities move — sampler/tempering.py works unchanged because all
+    slot-attached fields live in MCState):
+      ``run(states, gms, slot_of, xkey, pot, table, t_grid, p_grid) ->
+        (states, gms, slot_of, recs, frames, hist, xacc, diag)``
     """
     sweep = make_dense_sweep_fn(kb, p2e, cellcfg, npasses=npasses, nvol=nvol)
     vsweep = jax.vmap(sweep, in_axes=(None, None, 0, 0))
@@ -159,36 +167,67 @@ def make_dense_run_fn(kb, p2e, cellcfg, shell: float, gcap: int,
             lambda: gms)
         return states, gms, diag
 
-    def run(states, gms, pot, table):
+    def block_core(pot, table, states, gms, diag):
         n = states.pos.shape[-2]
+        (states, gms, diag), _ = jax.lax.scan(
+            lambda c, _: (sweep_step(pot, table, c), None),
+            (states, gms, diag), None, length=mod)
+        # sync positions + drift-free energies at record points
+        pe, vir = jax.vmap(
+            lambda g: DD.total_energy_virial_dense(pot, g, n))(gms)
+        posw = jax.vmap(
+            lambda g, b: (lambda p: p - b * jnp.floor(p / b))(
+                g.pos_ext[:n]))(gms, states.box)
+        states = states.replace(pe=pe, virial=vir, pos=posw)
+        rec = jax.vmap(lambda s: make_record(s, kb))(states)
+        states = jax.vmap(
+            lambda s: adapt_step_sizes(s, targets=targets,
+                                       factor=factor))(states)
+        frame = (states.pos, states.box) if write_traj else ()
+        return states, gms, diag, rec, frame
 
-        def record_block(carry, _):
-            states, gms, diag = carry
-            (states, gms, diag), _ = jax.lax.scan(
-                lambda c, _: (sweep_step(pot, table, c), None),
-                (states, gms, diag), None, length=mod)
-            # sync positions + drift-free energies at record points
-            pe, vir = jax.vmap(
-                lambda g: DD.total_energy_virial_dense(pot, g, n))(gms)
-            posw = jax.vmap(
-                lambda g, b: (lambda p: p - b * jnp.floor(p / b))(
-                    g.pos_ext[:n]))(gms, states.box)
-            states = states.replace(pe=pe, virial=vir, pos=posw)
-            rec = jax.vmap(lambda s: make_record(s, kb))(states)
-            states = jax.vmap(
-                lambda s: adapt_step_sizes(s, targets=targets,
-                                           factor=factor))(states)
-            frame = (states.pos, states.box) if write_traj else ()
-            return (states, gms, diag), (rec, frame)
+    if not exchange:
+        def run(states, gms, pot, table):
+            def record_block(carry, _):
+                states, gms, diag = carry
+                states, gms, diag, rec, frame = block_core(
+                    pot, table, states, gms, diag)
+                return (states, gms, diag), (rec, frame)
+
+            diag0 = jnp.zeros((), jnp.int32)
+            (states, gms, diag), (recs, frames) = jax.lax.scan(
+                record_block, (states, gms, diag0), None, length=nrecords)
+            return states, gms, recs, (frames if write_traj else None), diag
+
+        if jit:
+            run = jax.jit(run, donate_argnums=(0, 1))
+        return run
+
+    assert npress * ntemp > 0
+
+    def run_x(states, gms, slot_of, xkey, pot, table, t_grid, p_grid):
+        def record_block_x(carry, event_idx):
+            states, gms, slot_of, diag = carry
+            states, gms, diag, rec, frame = block_core(
+                pot, table, states, gms, diag)
+            slots_at_record = slot_of
+            ekey = jax.random.fold_in(xkey, event_idx)
+            states, slot_of, n_acc = tempering.exchange_event(
+                states, slot_of, ekey, event_idx, npress, ntemp,
+                t_grid, p_grid, kb, p2e)
+            return (states, gms, slot_of, diag), (rec, frame,
+                                                  slots_at_record, n_acc)
 
         diag0 = jnp.zeros((), jnp.int32)
-        (states, gms, diag), (recs, frames) = jax.lax.scan(
-            record_block, (states, gms, diag0), None, length=nrecords)
-        return states, gms, recs, (frames if write_traj else None), diag
+        (states, gms, slot_of, diag), (recs, frames, hist, xacc) = \
+            jax.lax.scan(record_block_x, (states, gms, slot_of, diag0),
+                         jnp.arange(nrecords), length=nrecords)
+        return (states, gms, slot_of, recs,
+                (frames if write_traj else None), hist, xacc, diag)
 
     if jit:
-        run = jax.jit(run, donate_argnums=(0, 1))
-    return run
+        run_x = jax.jit(run_x, donate_argnums=(0, 1))
+    return run_x
 
 
 def build_ensemble_ghosts(states, shell: float, gcap: int):

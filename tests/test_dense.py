@@ -125,3 +125,28 @@ def test_dense_mc_matches_gather_statistics():
     assert int(states.sweep[0]) == 20
     assert float(np.asarray(recs.acc_pos).max()) > 0.0
     assert float(states.pe[0]) < float(states.pe[1])
+
+
+def test_dense_runner_with_exchange():
+    """Dense engine through the production runner incl. tempering."""
+    import numpy as np
+    from neuralmelting_tpu import runner
+    from neuralmelting_tpu.config import RunConfig
+
+    cfg = RunConfig(name="d", element="LJ", ncells=(4, 4, 4),
+                    npress=1, ntemp=4, press=(1.0,),
+                    temp=(0.5, 0.8, 1.1, 1.4),
+                    nsmpl=4, mod=4, ncut=1, seed=5,
+                    dpos0=0.1, dvol0=0.01)
+    setup = runner.setup_run(cfg, engine="dense")
+    setup, recs, frames, hist, xacc, diag = runner.run_sampling(
+        setup, write_files=False)
+    assert int(diag) == 0
+    pe = np.asarray(recs.pe[-1]) / 256
+    assert np.isfinite(pe).all()
+    # energies ordered with temperature at the last record (slot order)
+    perm = np.argsort(np.asarray(hist)[-1])
+    pe_slots = pe[perm]
+    assert pe_slots[0] < pe_slots[-1]
+    # slot permutation remains valid
+    assert sorted(np.asarray(setup.slot_of).tolist()) == [0, 1, 2, 3]
