@@ -33,10 +33,7 @@ def main(argv=None):
     t0 = time.time()
     setup = runner.setup_run(cfg, setfl=args.setfl, engine=args.engine)
     if args.restart:
-        from neuralmelting_tpu.io import checkpoint as ckpt
-        states, slot_of, cfg_json, _ = ckpt.load(args.restart)
-        import dataclasses
-        setup = dataclasses.replace(setup, states=states, slot_of=slot_of)
+        setup = runner.restore_setup(setup, args.restart)
         print(f"resumed from {args.restart}")
     os.makedirs(args.outdir, exist_ok=True)
     ckpath = os.path.join(args.outdir, f"{cfg.name}.{cfg.element.lower()}.ckpt.npz")

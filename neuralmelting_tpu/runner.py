@@ -123,6 +123,35 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
                     engine=engine, gms=gms, shell=shell, gcap=gcap)
 
 
+def restore_setup(setup: RunSetup, checkpoint_path: str) -> RunSetup:
+    """Resume from a checkpoint: replaces the ensemble state AND rebuilds
+    every position-derived structure (neighbor lists, EAM density cache,
+    ghost images) from the restored configuration — a restart that kept
+    lattice-built caches would run the first sweeps with wrong energetics.
+    Warns when the stored config differs from the current one."""
+    import warnings
+
+    from neuralmelting_tpu.io import checkpoint as ckpt_mod
+
+    states, slot_of, cfg_json, _ = ckpt_mod.load(checkpoint_path)
+    if cfg_json not in ("{}", setup.cfg.to_json()):
+        warnings.warn("checkpoint was written with a different RunConfig; "
+                      "proceeding with the current flags")
+    nls, _ = ENS.build_ensemble_nl(setup.pot, states, skin=setup.cfg.skin,
+                                   capacity=setup.cap)
+    aux = ENS.build_ensemble_aux(setup.pot, states, nls)
+    pops = PO.ops_for_style(setup.style)
+    pe, vir = jax.vmap(
+        lambda p, b, nl: pops.total(setup.pot, p, b, nl)
+    )(states.pos, states.box, nls)
+    states = states.replace(pe=pe, virial=vir)
+    gms = setup.gms
+    if setup.engine == "dense":
+        gms = DS.build_ensemble_ghosts(states, setup.shell, setup.gcap)
+    return dataclasses.replace(setup, states=states, slot_of=slot_of,
+                               nls=nls, aux=aux, gms=gms)
+
+
 def nvol_per_sweep(cfg: RunConfig, natoms: int) -> int:
     """Volume attempts per sweep from the reference's per-move probability,
     capped so full-energy recomputes don't dominate at large N."""

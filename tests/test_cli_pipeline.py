@@ -107,3 +107,33 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.random.uniform(states.key[0])
     b = jax.random.uniform(s2.key[0])
     np.testing.assert_allclose(float(a), float(b))
+
+
+@pytest.mark.slow
+def test_cli_restart_resumes_consistently(tmp_path, capsys):
+    """--restart must rebuild position-derived caches from the checkpoint."""
+    from neuralmelting_tpu.cli import remcmc
+
+    out = str(tmp_path / "o1")
+    argv = ["-n", "r", "-e", "LJ", "-ss", "4", "-pn", "1",
+            "-tn", "4", "-tr", "0.5", "1.4", "-sn", "4", "-sm", "3",
+            "-sd", "9"]
+    remcmc.main(argv + ["-o", out])
+    ck = os.path.join(out, "r.lj.ckpt.npz")
+    assert os.path.exists(ck)
+
+    out2 = str(tmp_path / "o2")
+    remcmc.main(argv + ["-o", out2, "--restart", ck])
+    msg = capsys.readouterr().out
+    summary = json.loads(msg.strip().splitlines()[-1])
+    assert summary["diag"] == 0
+    # resumed run continues with finite physics from the restored state
+    thrm = glob.glob(os.path.join(out2, "r.lj.fcc.4x4x4.*.thrm"))
+    assert len(thrm) == 4
+    from neuralmelting_tpu.io import thermo
+    _, d = thermo.read(sorted(thrm)[0])
+    assert np.isfinite(d["pe"]).all()
+    # energies should be near the checkpointed equilibrium, not the
+    # fresh-lattice value (the original bug ran the first sweeps with
+    # lattice-built caches)
+    assert d["pe"][0] / 256 < -4.0
