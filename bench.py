@@ -26,6 +26,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeat bench invocations skip the ~2-4 min
+# compile (verified not to affect correctness or timing on this stack)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 sys.path.insert(0, "/root/repo")
 
 from neuralmelting_tpu.models.lattice import make_supercell
