@@ -32,7 +32,7 @@ _SIGNS = np.array([(sx, sy, sz)
                    for sz in (-1, 0, 1)
                    if (sx, sy, sz) != (0, 0, 0)], np.float32)  # (26, 3)
 
-GCAP_PER_ATOM = 8  # >= 7 images (corner atom) + 1 slack
+GCAP_PER_ATOM = 7  # exactly the 7-image worst case (corner atom)
 
 
 @struct.dataclass
