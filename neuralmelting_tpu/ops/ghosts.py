@@ -95,6 +95,10 @@ def build(pos, box, shell, gcap: int) -> GhostMap:
     same = (parent[None, :] == parent[:, None]) & valid[None, :] & valid[:, None]
     rank = jnp.sum(same & (g_ids[None, :] < g_ids[:, None]),
                    axis=1).astype(jnp.int32)
+    # an atom needs more than the 7 single-shift images only when
+    # 2*shell > min(box) (it sits within shell of BOTH faces of an axis);
+    # clamping would silently stop updating the dropped image, so flag it
+    rank_overflow = jnp.any(valid & (rank > GCAP_PER_ATOM - 1))
     rank = jnp.minimum(rank, GCAP_PER_ATOM - 1)
     dump = n + gcap
     slots_of = jnp.full((n + 1, GCAP_PER_ATOM), dump, jnp.int32)
@@ -108,24 +112,27 @@ def build(pos, box, shell, gcap: int) -> GhostMap:
         slots_of=slots_of, nghost=count,
         ref_pos=jnp.copy(pos), ref_box=jnp.copy(box),
         shell=jnp.asarray(shell, jnp.float32),
-        overflow=count > gcap,
+        overflow=(count > gcap) | rank_overflow,
     )
 
 
-def needs_rebuild(gm: GhostMap, rc) -> jnp.ndarray:
+def needs_rebuild(gm: GhostMap, rc, budget=0.0, shrink=1.0) -> jnp.ndarray:
     """True when accumulated displacement may break image coverage.
 
     Uses the REAL rows of pos_ext vs the build snapshot; box rescales are
     handled conservatively like neighbor lists (safe when the shell at
     build, scaled, still covers rc + 2*maxdisp).
+
+    ``budget`` is extra displacement headroom the caller consumes before the
+    next check (one checkerboard move = sqrt(3)*dpos); ``shrink`` (<1)
+    budgets a pending isotropic rescale by c: coverage of gm scaled by c
+    requires rc/c + 2*maxdisp <= shell (ADVICE.md r1).
     """
     n = gm.ref_pos.shape[0]
     pos = gm.pos_ext[:n]
-    # current box: reconstruct from scaling of ref_box is not tracked here;
-    # callers pass positions/box through rebuild_on_volume instead.
     d = pos - gm.ref_pos
     maxdisp = jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1)))
-    return (rc + 2.0 * maxdisp) > gm.shell
+    return (rc / shrink + 2.0 * (maxdisp + budget)) > gm.shell
 
 
 def scaled(gm: GhostMap, s) -> GhostMap:

@@ -120,13 +120,27 @@ def build(pos, box, rlist, capacity: int,
     )
 
 
-def needs_rebuild(nl: NeighborList, pos, box, rc) -> jnp.ndarray:
-    """() bool — True when the safety invariant may no longer hold."""
+def max_displacement(nl: NeighborList, pos, box) -> jnp.ndarray:
+    """() max effective displacement vs. affinely-rescaled build positions."""
     s = box / nl.ref_box
-    # effective displacement vs. affinely-rescaled build positions
     d = min_image(pos - nl.ref_pos * s, box)
-    maxdisp = jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1)))
-    return (rc + 2.0 * maxdisp) > nl.rlist * jnp.min(s)
+    return jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1)))
+
+
+def needs_rebuild(nl: NeighborList, pos, box, rc,
+                  budget=0.0, shrink=1.0) -> jnp.ndarray:
+    """() bool — True when the safety invariant may no longer hold.
+
+    ``budget`` is extra per-particle displacement headroom the caller will
+    consume BEFORE the next staleness check (e.g. sqrt(3)*dpos for one more
+    checkerboard move per particle) — without it the trigger fires exactly
+    at violation, after stale energies were already used (ADVICE.md r1).
+    ``shrink`` (<1) budgets a pending isotropic box rescale: the invariant
+    must hold at box*shrink for a volume-move energy to be exact.
+    """
+    s = box / nl.ref_box
+    maxdisp = max_displacement(nl, pos, box)
+    return (rc + 2.0 * (maxdisp + budget)) > nl.rlist * jnp.min(s) * shrink
 
 
 def _row_terms(pot, pos, box, idx, count, ri_x, ri_y, ri_z):

@@ -34,11 +34,10 @@ from neuralmelting_tpu.sampler.adapt import adapt_step_sizes
 from neuralmelting_tpu.sampler.driver import make_record
 
 
-def _or_reduce_flags(d):
-    """Bitwise-OR a (R,) int32 flag array into a scalar (2 known bits)."""
-    return (jnp.where(jnp.any(d & CB.DIAG_NL_OVERFLOW), CB.DIAG_NL_OVERFLOW, 0)
-            | jnp.where(jnp.any(d & CB.DIAG_CB_INVALID), CB.DIAG_CB_INVALID, 0)
-            ).astype(jnp.int32)
+def or_reduce(d):
+    """Bitwise-OR a (R,) int32 flag array into a scalar."""
+    return jax.lax.reduce(d.astype(jnp.int32), np.int32(0),
+                          jnp.bitwise_or, (0,))
 
 
 def make_ensemble_run_fn(kb, p2e, cellcfg, skin: float, capacity: int,
@@ -73,25 +72,86 @@ def make_ensemble_run_fn(kb, p2e, cellcfg, skin: float, capacity: int,
             raise ValueError("pass npasses or natoms")
         npasses = CB.default_npasses(natoms, cellcfg)
     pops = PO.ops_for_style(style)
-    sweep = CB.make_cb_sweep_fn(kb, p2e, cellcfg, npasses=npasses,
-                                nvol=nvol, nhmc=nhmc,
-                                nstps=nstps, mass=mass, style=style)
-    vsweep = jax.vmap(sweep, in_axes=(None, None, 0, 0, 0))
+    one_pass = CB.make_cb_pass_fn(kb, cellcfg, style)
+    tail = CB.make_cb_tail_fn(kb, p2e, nvol, nhmc, nstps, mass, style)
+    vpass = jax.vmap(one_pass, in_axes=(None, None, 0, 0, 0, 0, 0))
+    vtail = jax.vmap(tail, in_axes=(None, 0, 0, 0, 0, 0))
+    sq3 = 3.0 ** 0.5
 
     def _vbuild(pot, pos, box):
         rlist = pot.rc + skin
         return jax.vmap(lambda p, b: NB.build(p, b, rlist, capacity))(pos, box)
 
+    def _maybe_rebuild(pot, states, nls, budget, shrink):
+        """Global rebuild when ANY replica's skin invariant would not
+        survive the upcoming stage (budget = displacement still to be
+        consumed before the next check; shrink = pending worst box
+        rescale). The cond stays outside vmap so only the taken branch
+        runs (ADVICE.md r1: the old trigger fired exactly at violation,
+        after stale energies were already used)."""
+        stale = jax.vmap(
+            lambda nl, p, b, bu: NB.needs_rebuild(nl, p, b, pot.rc,
+                                                  budget=bu, shrink=shrink)
+        )(nls, states.pos, states.box,
+          jnp.broadcast_to(budget, states.temp.shape))
+        return jax.lax.cond(jnp.any(stale),
+                            lambda: _vbuild(pot, states.pos, states.box),
+                            lambda: nls)
+
     def sweep_step(pot, table, carry):
         states, nls, aux, diag = carry
-        states, aux, d = vsweep(pot, table, states, nls, aux)
-        diag = diag | _or_reduce_flags(d)
-        stale = jax.vmap(
-            lambda nl, p, b: NB.needs_rebuild(nl, p, b, pot.rc)
-        )(nls, states.pos, states.box)
-        nls = jax.lax.cond(jnp.any(stale),
-                           lambda: _vbuild(pot, states.pos, states.box),
-                           lambda: nls)
+        ks = jax.vmap(lambda k: jax.random.split(k, 4))(states.key)
+        states = states.replace(key=ks[:, 0])
+        kpass, kvol, khmc = ks[:, 1], ks[:, 2], ks[:, 3]
+
+        # per-replica dpos clamp: checkerboard independence AND enough
+        # skin headroom that one pass per fresh rebuild is always legal
+        margin_cb = CB.cb_dpos_margin(pops, pot, cellcfg, states.box)
+        s_min = jnp.min(states.box / nls.ref_box, axis=-1)
+        room = jnp.maximum(nls.rlist * s_min - pot.rc, 0.0)
+        dpos_eff = jnp.minimum(states.dpos,
+                               jnp.minimum(0.5 * margin_cb,
+                                           room / (2.0 * sq3)))
+        dpos_eff = jnp.maximum(dpos_eff, 0.0)
+        diag = diag | jnp.where(jnp.any(margin_cb <= 0.0),
+                                CB.DIAG_CB_INVALID, 0).astype(jnp.int32)
+        budget = sq3 * dpos_eff        # one move per particle per pass
+
+        def pass_body(carry, p):
+            states, nls, aux = carry
+            nls = _maybe_rebuild(pot, states, nls, budget, 1.0)
+            pkeys = jax.vmap(jax.random.fold_in, (0, None))(kpass, p)
+            states, aux = vpass(pot, table, states, nls, aux,
+                                dpos_eff, pkeys)
+            return (states, nls, aux), None
+
+        (states, nls, aux), _ = jax.lax.scan(
+            pass_body, (states, nls, aux), jnp.arange(npasses))
+
+        if nvol or nhmc:
+            # tail budget: worst isotropic shrink over nvol volume trials
+            # + a 4-sigma bound on HMC leapfrog drift
+            vol = jnp.prod(states.box, axis=-1)
+            shrink = jnp.min(jnp.cbrt(
+                jnp.maximum(vol - nvol * states.dvol, 0.01 * vol) / vol))
+            b_hmc = 0.0
+            if nhmc:
+                b_hmc = (nstps * states.dt
+                         * 4.0 * jnp.sqrt(kb * states.temp / mass))
+            nls = _maybe_rebuild(pot, states, nls, b_hmc, shrink)
+            states, aux = vtail(pot, states, nls, aux, kvol, khmc)
+            if nhmc:
+                # retroactive exactness check: flag if the trajectory
+                # drifted past the budget (final eval may have been stale)
+                viol = jax.vmap(
+                    lambda nl, p, b: NB.needs_rebuild(nl, p, b, pot.rc)
+                )(nls, states.pos, states.box)
+                diag = diag | jnp.where(jnp.any(viol), CB.DIAG_NL_STALE,
+                                        0).astype(jnp.int32)
+
+        diag = diag | jnp.where(jnp.any(nls.overflow), CB.DIAG_NL_OVERFLOW,
+                                0).astype(jnp.int32)
+        states = states.replace(sweep=states.sweep + 1)
         return states, nls, aux, diag
 
     def block_core(pot, table, states, nls, aux, diag):
@@ -142,7 +202,10 @@ def make_ensemble_run_fn(kb, p2e, cellcfg, skin: float, capacity: int,
             states, nls, aux, diag, rec, frame = block_core(
                 pot, table, states, nls, aux, diag)
             slots_at_record = slot_of  # attribution BEFORE the exchange
-            ekey = jax.random.fold_in(xkey, event_idx)
+            # fold the global sweep counter in so chained chunks/restarts
+            # never replay the same exchange-uniform sequence (ADVICE.md r1)
+            ekey = jax.random.fold_in(jax.random.fold_in(xkey, event_idx),
+                                      states.sweep[0])
             states, slot_of, n_acc = tempering.exchange_event(
                 states, slot_of, ekey, event_idx, npress, ntemp,
                 t_grid, p_grid, kb, p2e)

@@ -207,12 +207,23 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                   setup.t_grid, setup.p_grid)
         states, nls, aux, slot_of, recs, frames, hist, xacc, diag = out
     jax.block_until_ready(states.pos)
+    diag_host = int(diag)
+    if diag_host != 0:
+        import warnings
+        bits = {1: "NL_OVERFLOW", 2: "CB_INVALID", 4: "GHOST_OVERFLOW",
+                8: "NL_STALE"}
+        names = [v for k, v in bits.items() if diag_host & k]
+        warnings.warn(
+            f"sampling chunk finished with diagnostic flags {diag_host} "
+            f"({'|'.join(names)}): outputs may be physically wrong — "
+            "increase max_neighbors/skin or reduce step caps",
+            RuntimeWarning, stacklevel=2)
     if metrics is not None:
         import numpy as _np
         metrics.log("sampling_chunk",
                     records=int(nrecords), replicas=int(hist.shape[1]),
                     natoms=setup.natoms, seconds=round(_time.time() - _t0, 3),
-                    diag=int(diag),
+                    diag=diag_host,
                     exchange_acc=[int(x) for x in _np.asarray(xacc)])
     setup = dataclasses.replace(setup, states=states, nls=nls, aux=aux,
                                 slot_of=slot_of)
@@ -237,18 +248,21 @@ def write_slot_files(cfg: RunConfig, outdir: str, recs: ThermoRecord,
         pos_np = np.asarray(frames[0])           # (nrec, R, N, 3)
         box_np = np.asarray(frames[1])           # (nrec, R, 3)
 
+    # hist[k] is a permutation replica->slot; one argsort inverts every
+    # record at once: sel_all[k, slot] = replica holding `slot` at record k
+    # (the per-(record, slot) argmax loop here was O(nrec * R^2) host time,
+    # minutes at the 32x32-grid scale — VERDICT.md r1 weak #5)
+    sel_all = np.argsort(hist, axis=1)           # (nrec, R)
+    rows_all = {c: rec_np[c][np.arange(nrec)[:, None], sel_all]
+                for c in thermo.COLUMNS}         # (nrec, R) slot-ordered
+
     for slot in range(r):
         p_idx, t_idx = divmod(slot, ntemp)
         prefix = naming.sample_prefix(cfg.name, cfg.element, el.lattice,
                                       cfg.ncells, p_idx, t_idx)
         tpath, jpath = naming.sample_paths(outdir, prefix)
-        # rows of this slot: for each record k, the replica holding `slot`
-        rows = {c: np.empty((nrec,)) for c in thermo.COLUMNS}
-        sel = np.empty((nrec,), np.int64)
-        for k in range(nrec):
-            sel[k] = int(np.argmax(hist[k] == slot))
-        for c in thermo.COLUMNS:
-            rows[c] = rec_np[c][np.arange(nrec), sel]
+        sel = sel_all[:, slot]
+        rows = {c: rows_all[c][:, slot] for c in thermo.COLUMNS}
         params = {"element": cfg.element, "natoms": natoms,
                   "press_idx": p_idx, "temp_idx": t_idx,
                   "config": cfg.to_json()}

@@ -37,6 +37,10 @@ from neuralmelting_tpu.sampler import moves
 # diagnostic bit flags
 DIAG_NL_OVERFLOW = 1
 DIAG_CB_INVALID = 2
+DIAG_NL_STALE = 8  # an energy was evaluated while the skin invariant held
+                   # no longer (only HMC trajectories can do this now)
+
+_SQ3 = 3.0 ** 0.5  # max |displacement| per move = sqrt(3) * dpos
 
 
 def nl_backend(pops: "PO.PotentialOps", nl: NB.NeighborList
@@ -54,12 +58,23 @@ def default_npasses(natoms: int, cellcfg: cells_ops.CellConfig) -> int:
     return max(1, int(np.ceil(natoms / cellcfg.ncells_total)))
 
 
-def make_cb_sweep_fn(kb, p2e, cellcfg: cells_ops.CellConfig,
-                     npasses: int = 1, nvol: int = 1, nhmc: int = 0,
-                     nstps: int = 16, mass: float = 1.0,
-                     style: str = "pair"):
-    """Build ``sweep(pot, active_table, state, nl, aux) ->
-    (state, aux, diag)``.
+def cb_dpos_margin(pops, pot, cellcfg: cells_ops.CellConfig, box):
+    """Checkerboard-independence margin: dpos may be at most half of
+    (stride-1)*min(cell width) - interaction range. <=0 means the grid no
+    longer supports exact parallel acceptance (DIAG_CB_INVALID)."""
+    n0, n1, n2 = (int(c) for c in cellcfg.ncell)
+    w_min = jnp.minimum(box[..., 0] / n0,
+                        jnp.minimum(box[..., 1] / n1, box[..., 2] / n2))
+    return (cellcfg.stride - 1) * w_min - pops.range_factor * pot.rc
+
+
+def make_cb_pass_fn(kb, cellcfg: cells_ops.CellConfig, style: str = "pair"):
+    """Build ``pass_fn(pot, active_table, state, nl, aux, dpos_eff, pkey) ->
+    (state, aux)`` — ONE checkerboard pass (each particle trialed at most
+    once). The caller owns the neighbor-list staleness discipline: the list
+    must satisfy rc + 2*(maxdisp + sqrt(3)*dpos_eff) <= rlist*min(s) on
+    entry so every in-pass trial energy is exact (parallel/ensemble.py
+    checks this between passes; ADVICE.md r1).
 
     ``pot`` and ``active_table`` ((ncolors, M) i32 from cellcfg) must be
     traced arguments, never baked constants (docs/tpu_notes.md §1); the
@@ -70,7 +85,6 @@ def make_cb_sweep_fn(kb, p2e, cellcfg: cells_ops.CellConfig,
     pops = PO.ops_for_style(style)
     ncolors = cellcfg.ncolors
     ncell = cellcfg.ncell
-    stride = cellcfg.stride
 
     def one_pass(pot, active_table, state, nl, aux, dpos_eff, pkey):
         n = state.pos.shape[0]
@@ -126,27 +140,19 @@ def make_cb_sweep_fn(kb, p2e, cellcfg: cells_ops.CellConfig,
                                        (order, subkeys))
         return state, aux
 
-    def sweep(pot, active_table, state, nl, aux):
-        key, kpass, kvol, khmc = jax.random.split(state.key, 4)
-        state = state.replace(key=key)
+    return one_pass
 
-        # dynamic safety clamp: (stride-1)*w >= rc + 2*dpos
-        # (componentwise Python ints: no baked array constants)
-        w_min = jnp.minimum(
-            state.box[0] / ncell[0],
-            jnp.minimum(state.box[1] / ncell[1], state.box[2] / ncell[2]))
-        margin = (stride - 1) * w_min - pops.range_factor * pot.rc
-        dpos_eff = jnp.minimum(state.dpos, 0.5 * margin)
-        diag = jnp.where(margin <= 0.0, DIAG_CB_INVALID, 0).astype(jnp.int32)
 
-        def pass_body(carry, pk):
-            st, aux = carry
-            return one_pass(pot, active_table, st, nl, aux, dpos_eff,
-                            pk), None
+def make_cb_tail_fn(kb, p2e, nvol: int = 1, nhmc: int = 0,
+                    nstps: int = 16, mass: float = 1.0,
+                    style: str = "pair"):
+    """Build ``tail(pot, state, nl, aux, kvol, khmc) -> (state, aux)`` —
+    the whole-configuration moves ending a sweep (volume trials + HMC).
+    Caller must ensure the list covers the worst volume shrink and the HMC
+    drift budget (see parallel/ensemble.py)."""
+    pops = PO.ops_for_style(style)
 
-        (state, aux), _ = jax.lax.scan(pass_body, (state, aux),
-                                       jax.random.split(kpass, npasses))
-
+    def tail(pot, state, nl, aux, kvol, khmc):
         backend = nl_backend(pops, nl)
         for v in range(nvol):
             state = moves.volume_move(pot, kb, p2e, backend, state,
@@ -157,8 +163,46 @@ def make_cb_sweep_fn(kb, p2e, cellcfg: cells_ops.CellConfig,
         if (nvol or nhmc) and pops.kind != "pair":
             # whole-configuration moves invalidate the density cache
             aux = pops.init_aux(pot, state.pos, state.box, nl)
+        return state, aux
 
-        diag = diag | jnp.where(nl.overflow, DIAG_NL_OVERFLOW, 0).astype(jnp.int32)
+    return tail
+
+
+def make_cb_sweep_fn(kb, p2e, cellcfg: cells_ops.CellConfig,
+                     npasses: int = 1, nvol: int = 1, nhmc: int = 0,
+                     nstps: int = 16, mass: float = 1.0,
+                     style: str = "pair"):
+    """Build ``sweep(pot, active_table, state, nl, aux) ->
+    (state, aux, diag)`` — npasses passes + the tail as one unit.
+
+    NOTE: this composition checks nothing between passes; the production
+    ensemble runner (parallel/ensemble.py) drives pass/tail separately with
+    per-pass staleness checks and rebuilds. Use this form only where the
+    skin is known to cover a full sweep's accumulation (small dpos) or for
+    compile checks.
+    """
+    pops = PO.ops_for_style(style)
+    one_pass = make_cb_pass_fn(kb, cellcfg, style)
+    tail = make_cb_tail_fn(kb, p2e, nvol, nhmc, nstps, mass, style)
+
+    def sweep(pot, active_table, state, nl, aux):
+        key, kpass, kvol, khmc = jax.random.split(state.key, 4)
+        state = state.replace(key=key)
+
+        margin = cb_dpos_margin(pops, pot, cellcfg, state.box)
+        dpos_eff = jnp.minimum(state.dpos, 0.5 * margin)
+        diag = jnp.where(margin <= 0.0, DIAG_CB_INVALID, 0).astype(jnp.int32)
+
+        def pass_body(carry, pk):
+            st, aux = carry
+            return one_pass(pot, active_table, st, nl, aux, dpos_eff,
+                            pk), None
+
+        (state, aux), _ = jax.lax.scan(pass_body, (state, aux),
+                                       jax.random.split(kpass, npasses))
+        state, aux = tail(pot, state, nl, aux, kvol, khmc)
+        diag = diag | jnp.where(nl.overflow, DIAG_NL_OVERFLOW,
+                                0).astype(jnp.int32)
         return state.replace(sweep=state.sweep + 1), aux, diag
 
     return sweep

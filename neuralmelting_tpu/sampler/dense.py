@@ -7,8 +7,14 @@ neighbor-list gathers. On this TPU stack gathers run ~0.06 G elem/s while
 the MXU sustains tens of TFLOP/s (docs/tpu_notes.md), which makes brute
 candidates cheaper than indexed neighbors by >10x.
 
-LJ/pair-only for now (EAM keeps the gather path); used by bench.py and
-selectable for production LJ runs.
+Ghost-coverage discipline (ADVICE.md r1): the run fn checks staleness
+BETWEEN passes with a one-move budget (rc + 2*(maxdisp + sqrt(3)*dpos) <=
+shell) and before volume trials with the worst-shrink budget, and clamps
+dpos so a fresh rebuild always buys at least one legal pass. The composed
+make_dense_sweep_fn keeps the old per-sweep granularity for compile checks.
+
+LJ/pair-only (EAM rides the gather path); used by bench.py and selectable
+for production LJ runs.
 """
 
 from __future__ import annotations
@@ -21,20 +27,33 @@ from neuralmelting_tpu.ops import dense_delta as DD
 from neuralmelting_tpu.ops import ghosts as GH
 from neuralmelting_tpu.sampler import tempering
 from neuralmelting_tpu.sampler.adapt import adapt_step_sizes
+from neuralmelting_tpu.sampler.checkerboard import DIAG_CB_INVALID
 from neuralmelting_tpu.sampler.driver import make_record
 
 DIAG_GHOST_OVERFLOW = 4
 
+_SQ3 = 3.0 ** 0.5
 
-def make_dense_sweep_fn(kb, p2e, cellcfg, npasses: int = 1, nvol: int = 1):
-    """Build ``sweep(pot, table, state, gm) -> (state, gm, diag)``.
 
-    ``state.pos`` is NOT maintained during sweeps — gm.pos_ext[:N]
+def dense_dpos_margin(pot, cellcfg, box):
+    """Checkerboard-independence margin (pair range only)."""
+    n0, n1, n2 = (int(c) for c in cellcfg.ncell)
+    w_min = jnp.minimum(box[..., 0] / n0,
+                        jnp.minimum(box[..., 1] / n1, box[..., 2] / n2))
+    return (cellcfg.stride - 1) * w_min - pot.rc
+
+
+def make_dense_pass_fn(kb, cellcfg):
+    """Build ``pass_fn(pot, table, state, gm, dpos_eff, pkey) ->
+    (state, gm)`` — one checkerboard pass on the ghost-extended set.
+
+    ``state.pos`` is NOT maintained during passes — gm.pos_ext[:N]
     (unwrapped) is authoritative; sync happens in the run fn's record step.
+    On entry the ghosts must satisfy rc + 2*(maxdisp + sqrt(3)*dpos_eff)
+    <= gm.shell so every in-pass trial energy is exact.
     """
     ncolors = cellcfg.ncolors
     ncell = cellcfg.ncell
-    stride = cellcfg.stride
 
     def one_pass(pot, table, state, gm, dpos_eff, pkey):
         n = state.pos.shape[0]
@@ -84,6 +103,14 @@ def make_dense_sweep_fn(kb, p2e, cellcfg, npasses: int = 1, nvol: int = 1):
                                       (jnp.arange(ncolors), subkeys))
         return state, gm
 
+    return one_pass
+
+
+def make_dense_vol_fn(kb, p2e):
+    """Build ``vol(pot, state, gm, key) -> (state, gm)`` — one isotropic
+    NPT volume trial on the ghost-extended set. Caller must pre-check
+    coverage for the worst shrink (GH.needs_rebuild(..., shrink=...))."""
+
     def volume_move(pot, state, gm, key):
         n = state.pos.shape[0]
         kd, ka = jax.random.split(key, 2)
@@ -109,15 +136,28 @@ def make_dense_sweep_fn(kb, p2e, cellcfg, npasses: int = 1, nvol: int = 1):
             ntv=state.ntv + 1,
         ), gm
 
+    return volume_move
+
+
+def make_dense_sweep_fn(kb, p2e, cellcfg, npasses: int = 1, nvol: int = 1):
+    """Build ``sweep(pot, table, state, gm) -> (state, gm, diag)``.
+
+    Legacy per-sweep composition (no staleness checks between passes) —
+    kept for compile checks; production runs go through make_dense_run_fn,
+    which owns the per-pass coverage discipline.
+    """
+    one_pass = make_dense_pass_fn(kb, cellcfg)
+    volume_move = make_dense_vol_fn(kb, p2e)
+
     def sweep(pot, table, state, gm):
         key, kpass, kvol = jax.random.split(state.key, 3)
         state = state.replace(key=key)
-        w_min = jnp.minimum(
-            state.box[0] / ncell[0],
-            jnp.minimum(state.box[1] / ncell[1], state.box[2] / ncell[2]))
-        margin = (stride - 1) * w_min - pot.rc
-        dpos_eff = jnp.minimum(state.dpos, 0.5 * margin)
-        diag = jnp.where(margin <= 0.0, 2, 0).astype(jnp.int32)
+        margin = dense_dpos_margin(pot, cellcfg, state.box)
+        room = jnp.maximum(gm.shell - pot.rc, 0.0)
+        dpos_eff = jnp.minimum(state.dpos,
+                               jnp.minimum(0.5 * margin,
+                                           room / (2.0 * _SQ3)))
+        diag = jnp.where(margin <= 0.0, DIAG_CB_INVALID, 0).astype(jnp.int32)
 
         def pass_body(carry, pk):
             st, gm = carry
@@ -151,20 +191,61 @@ def make_dense_run_fn(kb, p2e, cellcfg, shell: float, gcap: int,
       ``run(states, gms, slot_of, xkey, pot, table, t_grid, p_grid) ->
         (states, gms, slot_of, recs, frames, hist, xacc, diag)``
     """
-    sweep = make_dense_sweep_fn(kb, p2e, cellcfg, npasses=npasses, nvol=nvol)
-    vsweep = jax.vmap(sweep, in_axes=(None, None, 0, 0))
+    one_pass = make_dense_pass_fn(kb, cellcfg)
+    volume_move = make_dense_vol_fn(kb, p2e)
+    vpass = jax.vmap(one_pass, in_axes=(None, None, 0, 0, 0, 0))
+    vvol = jax.vmap(volume_move, in_axes=(None, 0, 0, 0))
 
-    def sweep_step(pot, table, carry):
-        states, gms, diag = carry
-        states, gms, d = vsweep(pot, table, states, gms)
-        diag = diag | jnp.max(d)
-        stale = jax.vmap(lambda g: GH.needs_rebuild(g, pot.rc))(gms)
-        gms = jax.lax.cond(
+    def _rebuild_if(pot, states, gms, budget, shrink):
+        stale = jax.vmap(
+            lambda g, bu: GH.needs_rebuild(g, pot.rc, budget=bu,
+                                           shrink=shrink)
+        )(gms, jnp.broadcast_to(budget, states.temp.shape))
+        return jax.lax.cond(
             jnp.any(stale),
             lambda: jax.vmap(
                 lambda g, b: GH.rewrap_rebuild(g, b, shell, gcap)
             )(gms, states.box),
             lambda: gms)
+
+    def sweep_step(pot, table, carry):
+        states, gms, diag = carry
+        ks = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)
+        states = states.replace(key=ks[:, 0])
+        kpass, kvol = ks[:, 1], ks[:, 2]
+
+        margin_cb = dense_dpos_margin(pot, cellcfg, states.box)
+        room = jnp.maximum(gms.shell - pot.rc, 0.0)
+        dpos_eff = jnp.minimum(states.dpos,
+                               jnp.minimum(0.5 * margin_cb,
+                                           room / (2.0 * _SQ3)))
+        dpos_eff = jnp.maximum(dpos_eff, 0.0)
+        diag = diag | jnp.where(jnp.any(margin_cb <= 0.0),
+                                DIAG_CB_INVALID, 0).astype(jnp.int32)
+        budget = _SQ3 * dpos_eff
+
+        def pass_body(carry, p):
+            states, gms = carry
+            gms = _rebuild_if(pot, states, gms, budget, 1.0)
+            pkeys = jax.vmap(jax.random.fold_in, (0, None))(kpass, p)
+            states, gms = vpass(pot, table, states, gms, dpos_eff, pkeys)
+            return (states, gms), None
+
+        (states, gms), _ = jax.lax.scan(pass_body, (states, gms),
+                                        jnp.arange(npasses))
+
+        if nvol:
+            vol = jnp.prod(states.box, axis=-1)
+            shrink = jnp.min(jnp.cbrt(
+                jnp.maximum(vol - nvol * states.dvol, 0.01 * vol) / vol))
+            gms = _rebuild_if(pot, states, gms, 0.0, shrink)
+            for v in range(nvol):
+                kv = jax.vmap(jax.random.fold_in, (0, None))(kvol, v)
+                states, gms = vvol(pot, states, gms, kv)
+
+        diag = diag | jnp.where(jnp.any(gms.overflow), DIAG_GHOST_OVERFLOW,
+                                0).astype(jnp.int32)
+        states = states.replace(sweep=states.sweep + 1)
         return states, gms, diag
 
     def block_core(pot, table, states, gms, diag):
@@ -211,7 +292,10 @@ def make_dense_run_fn(kb, p2e, cellcfg, shell: float, gcap: int,
             states, gms, diag, rec, frame = block_core(
                 pot, table, states, gms, diag)
             slots_at_record = slot_of
-            ekey = jax.random.fold_in(xkey, event_idx)
+            # fold the global sweep counter in so chained chunks/restarts
+            # never replay the same exchange randomness (ADVICE.md r1)
+            ekey = jax.random.fold_in(jax.random.fold_in(xkey, event_idx),
+                                      states.sweep[0])
             states, slot_of, n_acc = tempering.exchange_event(
                 states, slot_of, ekey, event_idx, npress, ntemp,
                 t_grid, p_grid, kb, p2e)

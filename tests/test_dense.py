@@ -46,6 +46,32 @@ def test_ghost_build_counts_and_positions():
         assert (pe[n + ng:] > 1e29).all()
 
 
+def test_ghost_rank_overflow_flagged():
+    """shell > box/2 makes an atom need >7 images (within shell of BOTH
+    faces of an axis); the build must flag it instead of silently dropping
+    image slots (ADVICE.md r1 low #1)."""
+    pos, box = _sys(ncells=2, a=1.6)          # box = 3.2 per axis
+    shell = 1.7                                # > box/2 = 1.6
+    gm = GH.build(pos, box, shell, gcap=512)
+    assert bool(gm.overflow)
+    # a safe shell on the same system stays clean
+    gm_ok = GH.build(pos, box, 1.5, gcap=512)
+    assert not bool(gm_ok.overflow)
+
+
+def test_ghost_needs_rebuild_budget_and_shrink():
+    pos, box = _sys(jitter=0.05, seed=3)
+    rc = 2.5
+    gm = GH.build(pos, box, rc + 0.4, GH.suggest_gcap(len(pos), box, rc + 0.4))
+    assert not bool(GH.needs_rebuild(gm, rc))
+    # an upcoming pass may move any particle by 0.25 -> pre-trigger
+    assert bool(GH.needs_rebuild(gm, rc, budget=0.25))
+    assert not bool(GH.needs_rebuild(gm, rc, budget=0.19))
+    # pending shrink c: coverage needs rc/c + 2*maxdisp <= shell
+    assert bool(GH.needs_rebuild(gm, rc, shrink=rc / (rc + 0.5)))
+    assert not bool(GH.needs_rebuild(gm, rc, shrink=0.999))
+
+
 def test_dense_delta_matches_brute():
     pot = LJCut.create()
     pos, box = _sys(jitter=0.05)

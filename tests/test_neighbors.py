@@ -91,6 +91,22 @@ def test_needs_rebuild_logic():
     assert not bool(NB.needs_rebuild(nl, pos * 1.01, box * 1.01, rc))
 
 
+def test_needs_rebuild_budget_and_shrink():
+    """The trigger must fire BEFORE the budgeted displacement/shrink is
+    consumed, not exactly at violation (ADVICE.md r1 medium #1)."""
+    pos, box = _liquidish()
+    rc = 2.5
+    nl = NB.build(pos, box, rc + 0.4, capacity=96)
+    # fresh list, but an upcoming pass may move any particle by 0.25:
+    # rc + 2*0.25 > rlist -> must pre-trigger
+    assert bool(NB.needs_rebuild(nl, pos, box, rc, budget=0.25))
+    assert not bool(NB.needs_rebuild(nl, pos, box, rc, budget=0.19))
+    # pending volume shrink: invariant must hold at box*shrink
+    bad_shrink = (rc / (rc + 0.4)) * 0.99
+    assert bool(NB.needs_rebuild(nl, pos, box, rc, shrink=bad_shrink))
+    assert not bool(NB.needs_rebuild(nl, pos, box, rc, shrink=0.999))
+
+
 def test_suggest_capacity_sane():
     pos, box = _liquidish()
     k = NB.suggest_capacity(len(pos), box, 2.9)
