@@ -10,13 +10,14 @@ gathers run at ~0.06 G elem/s and every lax.scan iteration carries a
 ~0.4 ms floor, so trial energies are computed as batched matmuls against a
 ghost-extended position set (docs/tpu_notes.md, sampler/dense.py).
 
-CRITICAL discipline (docs/tpu_notes.md §0): this process performs ZERO
-device-to-host readbacks until all timed device work has completed — a
-single float()/np.asarray() of a TPU array would permanently degrade the
-process. block_until_ready does not reliably block before the first
-readback on this stack, so timing covers several chunks and ends with a
-forced readback barrier; the warmup chunk's cost is excluded via the
-two-point (N1, N2) slope.
+Timing protocol (docs/tpu_notes.md §0, corrected in round 2):
+block_until_ready LIES before the first device readback on this stack
+(returns without waiting), so the bench forces ONE readback after
+warmup+equilibration — which also switches the process into its honest
+(and faster) execution regime — and then times n2-n1 chunks between two
+readback barriers. Verified by A/B in fresh processes: post-readback
+chunk times are stable (4.7 s/chunk) while pre-readback "timings" are
+unawaited-enqueue fiction.
 """
 
 import json
@@ -88,21 +89,21 @@ def main():
             length=SWEEPS_PER_CHUNK)
         return states, gms, diag
 
-    # warmup/compile + equilibrate (block may lie pre-readback; that's fine,
-    # the slope below subtracts everything enqueued before t1)
+    # warmup/compile + equilibrate (block may lie pre-readback; the first
+    # readback below drains everything enqueued so far)
     states, gms, diag = chunk(states, gms, pot, table)
     jax.block_until_ready(states.pos)
 
     n1, n2 = 2, 6
     for _ in range(n1):
         states, gms, diag = chunk(states, gms, pot, table)
-    ntp_a = states.ntp + 0          # device-side counter snapshot (no readback)
+    ntp_a = states.ntp + 0          # device-side counter snapshot
     ntv_a = states.ntv + 0
-    _ = float(jnp.sum(states.pos))  # forced completion (first readback)
-    t1 = time.perf_counter()
+    _ = float(jnp.sum(states.pos))  # REQUIRED: drains the queue and makes
+    t1 = time.perf_counter()        # all later barriers honest (notes §0)
     for _ in range(n2 - n1):
         states, gms, diag = chunk(states, gms, pot, table)
-    _ = float(jnp.sum(states.pos))  # honest barrier (post-readback)
+    _ = float(jnp.sum(states.pos))  # closing readback barrier
     t2 = time.perf_counter()
 
     # ---- timed region over; full readbacks now allowed ----
