@@ -1,0 +1,572 @@
+"""Whole-sweep Pallas TPU kernel: cell-confined checkerboard NPT position MC.
+
+This is the production LJ hot path (BASELINE.json north star: "pair
+energies ... written as Pallas kernels"). One ``pallas_call`` advances a
+whole replica tile through NCYC checkerboard cycles — every substep's
+candidate energies, PRNG, Metropolis acceptance and position updates stay
+in VMEM, amortizing the per-dispatch overhead and HBM traffic that bounded
+the XLA engines (sampler/dense.py ran one dispatch per color substep).
+
+Scheme (Anderson et al., arXiv:1509.04692 — the scalable checkerboard MC
+the reference's serial LAMMPS loop cannot express): the box is cut into an
+even (nx, ny, nz) grid of cells of width >= rc; cells are 2-strided into 8
+colors. Trial moves are CONFINED to the mover's cell, so
+
+  * same-color movers can never interact (gap >= w >= rc): exact parallel
+    Metropolis acceptance for all active cells at once;
+  * every interaction partner of a mover lies in its 27-cell stencil: the
+    candidate set is the 26 neighbor blocks (other colors) + own cell;
+  * atoms never leave their cell between rebinnings: no neighbor-list
+    staleness tracking, no rebuild budget, unlimited substeps per binning.
+
+Ergodicity across cell boundaries comes from a random continuous grid
+shift, applied OUTSIDE the kernel as an incremental one-axis slab->slab
+rebinning (`rebin_axis`, a batched minor-axis sort — measured 0.5 ms at
+R=64 vs 26 ms for a gather/scatter rebuild on this stack).
+
+Data layout ("slabs"): positions live binned as (C*K, R) arrays per
+coordinate — C cells (color-major: 8 colors x (hx,hy,hz) within-color
+grid), K fixed slots per cell (occupied slots packed first), replicas in
+the 128-lane minor axis. Stencil candidates come from STATIC rolls of
+neighbor color blocks (sublane-axis rolls compile to static slices); the
+periodic wrap rows get a +-L coordinate correction, so pair distances need
+no min-image math at all. Per color step, J movers per cell are trialed:
+their energies against the 26 static (other-color) blocks vectorize over
+J, and the own-cell interactions + acceptance run as J exact sequential
+substeps against the live slab.
+
+RNG is an in-kernel threefry2x32 (20 rounds, Random123/JAX's generator),
+keyed per replica tile and counter-based — bitwise reproducible across
+TPU and interpret mode, no reliance on the hardware PRNG.
+
+Reference parity: replaces lammps_remcmc.py's position-move hot loop
+(SURVEY.md §3.1) — one Python->LAMMPS round trip per trial there; ~10^4
+trials per dispatch here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INVALID = 1.0e30        # parked coordinate for empty slots
+RT = 128                # replica lane tile
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CellGeom:
+    """Static slab geometry. Cells of width >= rc (checkerboard stride 2);
+    each axis count even so colors tile periodically."""
+    ncell: tuple            # (nx, ny, nz), all even, >= 2
+    kcap: int               # slots per cell (multiple of 8 and of nsub)
+    nsub: int               # J: movers per cell per color step
+    natoms: int
+
+    @property
+    def ncells(self) -> int:
+        return int(np.prod(self.ncell))
+
+    @property
+    def half(self) -> tuple:
+        return tuple(n // 2 for n in self.ncell)
+
+    @property
+    def cw(self) -> int:                 # cells per color
+        return self.ncells // 8
+
+    @property
+    def rows(self) -> int:
+        return self.ncells * self.kcap
+
+    @property
+    def group(self) -> int:              # slots per substep group
+        return self.kcap // self.nsub
+
+
+def make_geom(box0, rc: float, natoms: int, nsub: int = 8,
+              shrink_margin: float = 0.05, kcap: int = 0) -> CellGeom:
+    """Pick the cell grid for initial box ``box0``: per axis the largest
+    EVEN cell count with width >= rc/(1-shrink_margin) (margin budgets NPT
+    box shrink within a chunk; validated per sweep by the engine)."""
+    box0 = np.asarray(box0, np.float64)
+    wmin = float(rc) / (1.0 - shrink_margin)
+    ncell = []
+    for b in box0:
+        n = int(np.floor(b / wmin))
+        n = max(2, (n // 2) * 2)
+        if b / n < wmin:
+            raise ValueError(
+                f"box {box0} too small for cell MC at rc={rc} "
+                f"(need >= {2 * wmin} per axis)")
+        ncell.append(n)
+    ncell = tuple(ncell)
+    if kcap <= 0:
+        dens = natoms / float(np.prod(box0))
+        cellvol = float(np.prod(box0 / np.asarray(ncell)))
+        mean = dens * cellvol
+        kcap = int(np.ceil((mean + 4.5 * np.sqrt(mean) + 4) / 8)) * 8
+    kcap = max(kcap, nsub)
+    kcap = -(-kcap // nsub) * nsub            # divisible by J
+    kcap = -(-kcap // 8) * 8                  # sublane-tile friendly
+    return CellGeom(ncell=ncell, kcap=kcap, nsub=nsub, natoms=natoms)
+
+
+def geom_tables(geom: CellGeom):
+    """Static per-row full-cell coordinates (3, C*K) int32 — passed as jit
+    arguments, never baked into traced code (docs/tpu_notes.md §1)."""
+    nx, ny, nz = geom.ncell
+    hx, hy, hz = geom.half
+    k = geom.kcap
+    rows = np.arange(geom.rows)
+    cell = rows // k
+    color = cell // geom.cw
+    w = cell % geom.cw
+    sx, sy, sz = color // 4, (color // 2) % 2, color % 2
+    vx, vy, vz = w // (hy * hz), (w // hz) % hy, w % hz
+    return np.stack([2 * vx + sx, 2 * vy + sy, 2 * vz + sz]).astype(np.int32)
+
+
+def _scid(geom: CellGeom, c3):
+    """Color-major slab cell index from full-cell coords (..., 3)."""
+    hx, hy, hz = geom.half
+    cx, cy, cz = c3[..., 0], c3[..., 1], c3[..., 2]
+    color = ((cx % 2) * 2 + (cy % 2)) * 2 + (cz % 2)
+    w = ((cx // 2) * hy + (cy // 2)) * hz + (cz // 2)
+    return color * geom.cw + w
+
+
+# ---------------------------------------------------------------------------
+# XLA side: bin / rebin / unbin (slab-resident state helpers)
+# ---------------------------------------------------------------------------
+
+def bin_initial(geom: CellGeom, pos, box, shift):
+    """pos (N,3) original frame -> slabs; once per chunk (off hot path).
+
+    Returns (x, y, z, ids, count, overflow): coords (C*K,) in the SHIFTED
+    frame (y = (x/L + shift) mod 1 * L, so cells are axis-aligned blocks
+    [c*w, (c+1)*w) — no cell is split by the periodic boundary), ids
+    (C*K,) i32 with -1 padding, count (C,) i32.
+    """
+    n = pos.shape[0]
+    k = geom.kcap
+    ncell_i = jnp.asarray(np.asarray(geom.ncell, np.int32))
+    ncell_f = jnp.asarray(np.asarray(geom.ncell, np.float32))
+    y = ((pos / box + shift) % 1.0) * box
+    w = box / ncell_f
+    c3 = jnp.minimum((y / w).astype(jnp.int32), ncell_i - 1)
+    scid = _scid(geom, c3)
+    s, xs, ys, zs, ids = jax.lax.sort(
+        (scid, y[:, 0], y[:, 1], y[:, 2], jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1)
+    count = jnp.bincount(s, length=geom.ncells).astype(jnp.int32)
+    # rank within cell without gathers: distance to the last cell boundary
+    iota = jnp.arange(n, dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (s[1:] != s[:-1]).astype(jnp.int32)])
+    seg_start = jax.lax.cummax(jnp.where(boundary > 0, iota, 0))
+    rank = iota - seg_start
+    rows = s * k + jnp.minimum(rank, k - 1)
+    xs_, ys_, zs_ = (jnp.full((geom.rows,), INVALID, jnp.float32)
+                     for _ in range(3))
+    ids_ = jnp.full((geom.rows,), -1, jnp.int32)
+    okw = dict(indices_are_sorted=True, unique_indices=False, mode="drop")
+    xs_ = xs_.at[rows].set(xs, **okw)
+    ys_ = ys_.at[rows].set(ys, **okw)
+    zs_ = zs_.at[rows].set(zs, **okw)
+    ids_ = ids_.at[rows].set(ids, **okw)
+    return xs_, ys_, zs_, ids_, count, jnp.any(count > k)
+
+
+def unbin(geom: CellGeom, slabs, box, shift):
+    """slabs -> (N, 3) positions in the ORIGINAL frame, atom-id order."""
+    x, y, z, ids = slabs[:4]
+    key = jnp.where(ids >= 0, ids, geom.rows + 1)
+    _, xs, ys, zs = jax.lax.sort((key, x, y, z), num_keys=1)
+    n = geom.natoms
+    yy = jnp.stack([xs[:n], ys[:n], zs[:n]], axis=-1)
+    return ((yy / box - shift) % 1.0) * box
+
+
+def _cellgrid(geom: CellGeom, arr):
+    """(..., C, K) -> (..., 2,2,2, hx,hy,hz, K) color-major view."""
+    hx, hy, hz = geom.half
+    return arr.reshape(arr.shape[:-2] + (2, 2, 2, hx, hy, hz, geom.kcap))
+
+
+def _shift_cells_up(geom: CellGeom, arr, axis: int):
+    """out[c] = in[c - 1] along full-cell ``axis`` (periodic): donor view
+    for rebinning. arr (..., C, K); pure reshape/roll/concat — no gathers.
+    """
+    g = _cellgrid(geom, arr)
+    sa = g.ndim - 7 + axis      # sigma_axis index in the 8D view
+    va = g.ndim - 4 + axis      # v_axis index
+    lo = jax.lax.index_in_dim(g, 0, axis=sa, keepdims=True)   # sigma_a = 0
+    hi = jax.lax.index_in_dim(g, 1, axis=sa, keepdims=True)   # sigma_a = 1
+    # c-1 of (sigma=1, v) is (sigma=0, v); c-1 of (sigma=0, v) is
+    # (sigma=1, v-1): roll the high block down by one v step.
+    out = jnp.concatenate([jnp.roll(hi, 1, axis=va), lo], axis=sa)
+    return out.reshape(arr.shape)
+
+
+def rebin_axis(geom: CellGeom, slabs, count, box, delta_frac, axis: int,
+               cell_tab=None):
+    """Advance the grid shift by ``delta_frac`` (< 1/ncell[axis]) along one
+    axis: every atom stays in its cell or moves to the cell BELOW (its cell
+    index grows by one as the grid slides). Batched (R, C*K) slabs ->
+    updated slabs; one 5-operand minor-axis sort, zero gathers.
+
+    Caller updates its shift bookkeeping: shift[axis] += delta_frac.
+    """
+    x, y, z, ids = slabs
+    r = x.shape[0]
+    c, k = geom.ncells, geom.kcap
+    la = box[:, axis:axis + 1]                       # (R, 1)
+    na = geom.ncell[axis]
+    coord = (x, y, z)[axis]
+    valid = ids >= 0
+    moved = (coord + delta_frac * la) % la
+    coord2 = jnp.where(valid, moved, INVALID)
+    slabs2 = [coord2 if a == axis else s for a, s in enumerate((x, y, z))]
+    wa = la / na
+    newc = jnp.minimum((coord2 / wa).astype(jnp.int32), na - 1)
+    # static per-row cell coordinate along `axis` (geom_tables row `axis`);
+    # pass cell_tab as a jit argument from scan bodies — a freshly created
+    # constant would be baked into the trace (docs/tpu_notes.md §1)
+    cello = cell_tab if cell_tab is not None else _static_cell_axis(geom,
+                                                                    axis)
+    cell_a = jnp.broadcast_to(cello[None, :], x.shape)
+    stays = valid & (newc == cell_a)
+    goes = valid & ~stays
+
+    def blocks(v, fill):
+        stay = jnp.where(stays, v, fill).reshape(r, c, k)
+        mover = jnp.where(goes, v, fill).reshape(r, c, k)
+        donor = _shift_cells_up(geom, mover, axis)
+        return jnp.concatenate([stay, donor], axis=-1)      # (R, C, 2K)
+
+    bx = blocks(slabs2[0], INVALID)
+    by = blocks(slabs2[1], INVALID)
+    bz = blocks(slabs2[2], INVALID)
+    bi = blocks(ids, -1)
+    keyf = jnp.where(bi >= 0, 0.0, 1.0)
+    _, sx, sy, sz, si = jax.lax.sort((keyf, bx, by, bz, bi),
+                                     num_keys=1, dimension=2)
+    nvalid = jnp.sum((bi >= 0).astype(jnp.int32), axis=-1)   # (R, C)
+    overflow = jnp.any(nvalid > k)
+    out = tuple(a[..., :k].reshape(r, c * k) for a in (sx, sy, sz, si))
+    return out, jnp.minimum(nvalid, k), overflow
+
+
+@functools.lru_cache(maxsize=None)
+def _static_cell_axis_np(ncell, kcap, axis):
+    geom = CellGeom(ncell=ncell, kcap=kcap, nsub=1, natoms=0)
+    return geom_tables(geom)[axis]
+
+
+def _static_cell_axis(geom: CellGeom, axis: int):
+    return jnp.asarray(_static_cell_axis_np(geom.ncell, geom.kcap, axis))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel threefry2x32 (Random123, 20 rounds — JAX's default generator)
+# ---------------------------------------------------------------------------
+
+_TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+_TF_C = np.int32(np.uint32(0x1BD11BDA).view(np.int32))
+
+
+def _rotl(x, r):
+    return (x << r) | jax.lax.shift_right_logical(x, 32 - r)
+
+
+def threefry2x32(k0, k1, x0, x1):
+    """int32 in/out; bit-identical to the uint32 reference algorithm
+    (two's-complement adds wrap the same way)."""
+    ks = [k0, k1, k0 ^ k1 ^ _TF_C]
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for i in range(5):
+        for r in _TF_ROT[4 * (i % 2):4 * (i % 2) + 4]:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r) ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + np.int32(i + 1)
+    return x0, x1
+
+
+def _bits_to_u01(b):
+    """int32 bits -> f32 uniform in (0, 1] (never 0: log-safe)."""
+    return ((b & 0x7fffff) + 1).astype(jnp.float32) * (2.0 ** -23)
+
+
+# ---------------------------------------------------------------------------
+# the sweep kernel
+# ---------------------------------------------------------------------------
+
+def _offsets26():
+    return [(dx, dy, dz)
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+            if (dx, dy, dz) != (0, 0, 0)]
+
+
+def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
+                  rt: int = RT):
+    """Build ``sweep(slabs, count, params, pot3, seeds) -> (slabs, stats)``.
+
+    slabs: (x, y, z) each (C*K, Rp) f32, Rp a multiple of RT (or == the
+      true replica count padded by the caller); SHIFTED-frame coords.
+    count: (C, Rp) i32 occupied slots per cell (packed first).
+    params: (8, Rp) f32 rows [beta, dpos, wx, wy, wz, Lx, Ly, Lz].
+    pot3:  (4,) f32 [eps, sigma, rc, pad] (global LJ parameters).
+    seeds: (ntiles, 2) i32 threefry key per replica tile (fold the sweep
+      counter in OUTSIDE so every call consumes fresh randomness).
+    stats: (8, Rp) f32 rows [pe_delta, n_accept, n_try, 0...].
+
+    Position moves only: volume/HMC moves and thermo records run outside
+    on the slab state (sampler/cellmc.py).
+    """
+    nx, ny, nz = geom.ncell
+    hx, hy, hz = geom.half
+    k = geom.kcap
+    cw = geom.cw
+    j = geom.nsub
+    g = geom.group
+    blk = cw * k               # rows per color block
+    strides = (hy * hz * k, hz * k, k)   # w-grid row strides per axis
+    half = (hx, hy, hz)
+
+    def row_iota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+    def kernel(seed_ref, pot_ref, params_ref, count_ref,
+               x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref, st_ref):
+        tile = pl.program_id(0)
+        k0 = seed_ref[tile, 0]
+        k1 = seed_ref[tile, 1]
+        eps = pot_ref[0]
+        sig2 = pot_ref[1] * pot_ref[1]
+        rc2 = pot_ref[2] * pot_ref[2]
+        beta = params_ref[0:1]                  # (1, RT)
+        dpos = params_ref[1:2]
+        wvec = [params_ref[2 + a:3 + a] for a in range(3)]
+        lvec = [params_ref[5 + a:6 + a] for a in range(3)]
+
+        ox_ref[:] = x_ref[:]
+        oy_ref[:] = y_ref[:]
+        oz_ref[:] = z_ref[:]
+        st_ref[:] = jnp.zeros_like(st_ref)
+
+        def uniform(shape, ctr):
+            """(shape) f32 in (0,1]; consumes one counter value."""
+            flat = row_iota(shape, 0) * shape[1] + row_iota(shape, 1)
+            b0, _ = threefry2x32(k0, k1, jnp.full(shape, ctr, jnp.int32),
+                                 flat)
+            return _bits_to_u01(b0)
+
+        def ljsum(r2, mask):
+            """masked sum of 4*(sr12 - sr6) over the K axis (axis=-2).
+            ``mask`` MUST exclude empty candidate slots: empty-vs-empty
+            pairs have r2 == 0 and would contribute inf - inf = NaN."""
+            sr2 = sig2 / jnp.maximum(r2, 1e-12)
+            sr6 = sr2 * sr2 * sr2
+            e = jnp.where(mask & (r2 < rc2), sr6 * sr6 - sr6, 0.0)
+            return 4.0 * jnp.sum(e, axis=-2)
+
+        def roll0(b, shift):
+            """Static sublane roll; skips identity (a full-size roll would
+            lower to a zero-length slice, which Mosaic rejects)."""
+            s = shift % b.shape[0]
+            return b if s == 0 else jnp.roll(b, s, axis=0)
+
+        def aligned_block(ref, coord_axis, sbits, off, axis_l):
+            """Neighbor color block aligned to the active color's w-grid.
+
+            The active color is TRACED (sbits = per-axis color bits as
+            scalars): for each offset axis with d_a != 0 the w-grid carry
+            is +-1 exactly when the active bit matches the step direction,
+            so the carry-aligned variant is computed with STATIC rolls and
+            selected by the traced bit. Row alignment is coordinate-
+            independent; the periodic +-L image correction applies only to
+            the coordinate of the axis that wrapped (coord_axis).
+            """
+            dvec = off
+            mcode = (abs(dvec[0]) * 2 + abs(dvec[1])) * 2 + abs(dvec[2])
+            color = (sbits[0] * 2 + sbits[1]) * 2 + sbits[2]
+            cprime = color ^ mcode
+            b = ref[pl.ds(cprime * blk, blk)]               # (blk, rt)
+            rows = row_iota((blk, 1), 0)
+            for a in range(3):
+                da = dvec[a]
+                if da == 0:
+                    continue
+                # carry is active iff stepping past this axis' color pair
+                active = (sbits[a] == (1 if da > 0 else 0)).reshape(1, 1)
+                va = (rows // strides[a]) % half[a]
+                edge = (half[a] - 1) if da > 0 else 0
+                if half[a] == 1:
+                    rolled = b        # single w-cell: identity alignment
+                elif a == 0:
+                    # outermost axis: flat roll wraps exactly
+                    rolled = roll0(b, -da * strides[a])
+                else:
+                    # jnp.roll(b, s): out[i] = in[i - s]. Main rows read
+                    # in[i + da*stride]; wrap rows (edge of the w-grid)
+                    # read the opposite end: in[i - da*(half-1)*stride].
+                    main = roll0(b, -da * strides[a])
+                    wrap = roll0(b, da * (half[a] - 1) * strides[a])
+                    rolled = jnp.where(va == edge, wrap, main)
+                if a == coord_axis:
+                    # rows whose source cell wrapped around the box read
+                    # the periodic image: high wrap -> +L, low wrap -> -L
+                    rolled = rolled + jnp.where(
+                        va == edge, jnp.float32(da) * axis_l[a], 0.0)
+                b = jnp.where(active, rolled, b)
+            return b
+
+        def color_step(step):
+            color = jax.lax.rem(step, 8)
+            sbits = (color // 4, (color // 2) % 2, color % 2)
+            base = color * blk
+            ctr = step * 8
+            cnt = count_ref[pl.ds(color * cw, cw)]           # (cw, rt)
+
+            # --- draws (5 per mover) -------------------------------------
+            u_pick = uniform((j * cw, rt), ctr + 0)
+            u_dx = uniform((j * cw, rt), ctr + 1)
+            u_dy = uniform((j * cw, rt), ctr + 2)
+            u_dz = uniform((j * cw, rt), ctr + 3)
+            u_acc = uniform((j * cw, rt), ctr + 4)
+
+            cnt_t = jnp.broadcast_to(cnt[None], (j, cw, rt))
+            lo = (row_iota((j, cw, rt), 0) * g)
+            cnt_j = jnp.clip(cnt_t - lo, 0, g)
+            valid = cnt_j > 0                                # (j, cw, rt)
+            upick = u_pick.reshape(j, cw, rt)
+            pick = lo + jnp.minimum(
+                (upick * cnt_j.astype(jnp.float32)).astype(jnp.int32),
+                jnp.maximum(cnt_j - 1, 0))                   # slot in [0,K)
+            disp = [dpos * (2.0 * u.reshape(j, cw, rt) - 1.0)
+                    for u in (u_dx, u_dy, u_dz)]
+
+            # --- movers (state at color-step start; slots distinct) ------
+            bx = ox_ref[pl.ds(base, blk)]
+            by = oy_ref[pl.ds(base, blk)]
+            bz = oz_ref[pl.ds(base, blk)]
+            kio = row_iota((1, cw, k, rt), 2)
+            onehot = kio == pick[:, :, None, :]              # (j, cw, k, rt)
+
+            def extract(b):
+                b4 = b.reshape(1, cw, k, rt)
+                return jnp.sum(jnp.where(onehot, b4, 0.0), axis=2)
+
+            m = [extract(bx), extract(by), extract(bz)]      # (j, cw, rt)
+            mn = [m[a] + disp[a] for a in range(3)]
+
+            # --- static field: 26 other-color neighbor blocks ------------
+            de = jnp.zeros((j, cw, rt), jnp.float32)
+            for off in _offsets26():
+                cnd = [aligned_block(r, a, sbits, off, lvec)
+                       for a, r in enumerate((ox_ref, oy_ref, oz_ref))]
+                c4 = [c.reshape(1, cw, k, rt) for c in cnd]
+                candv = c4[0] < 0.1 * INVALID        # occupied slots only
+
+                def r2of(p):
+                    d0 = c4[0] - p[0][:, :, None, :]
+                    d1 = c4[1] - p[1][:, :, None, :]
+                    d2 = c4[2] - p[2][:, :, None, :]
+                    return d0 * d0 + d1 * d1 + d2 * d2
+
+                de = de + ljsum(r2of(mn), candv) - ljsum(r2of(m), candv)
+
+            # --- sequential own-cell phase + acceptance ------------------
+            # full-cell coords of each cell row: 2*v + traced color bit
+            crow = row_iota((cw, 1), 0)
+            vxyz = [(crow // (strides[a] // k)) % half[a] for a in range(3)]
+            cfull = [2 * vxyz[a] + sbits[a] for a in range(3)]  # (cw, 1)
+
+            for jj in range(j):
+                cx = ox_ref[pl.ds(base, blk)].reshape(cw, k, rt)
+                cy = oy_ref[pl.ds(base, blk)].reshape(cw, k, rt)
+                cz = oz_ref[pl.ds(base, blk)].reshape(cw, k, rt)
+                mj = [m[a][jj] for a in range(3)]            # (cw, rt)
+                nj = [mn[a][jj] for a in range(3)]
+                oh = onehot[jj]                              # (cw, k, rt)
+
+                def r2own(p):
+                    d0 = cx - p[0][:, None, :]
+                    d1 = cy - p[1][:, None, :]
+                    d2 = cz - p[2][:, None, :]
+                    return d0 * d0 + d1 * d1 + d2 * d2
+
+                ownv = ~oh & (cx < 0.1 * INVALID)
+                e_old = ljsum(r2own(mj), ownv)
+                e_new = ljsum(r2own(nj), ownv)
+                dej = de[jj] + e_new - e_old                 # (cw, rt)
+
+                incell = jnp.ones((cw, rt), jnp.bool_)
+                for a in range(3):
+                    lo_a = cfull[a].astype(jnp.float32) * wvec[a]
+                    incell &= (nj[a] >= lo_a) & (nj[a] < lo_a + wvec[a])
+                ln_u = jnp.log(u_acc.reshape(j, cw, rt)[jj])
+                acc = valid[jj] & incell & (ln_u < -beta * eps * dej)
+
+                accf = acc.astype(jnp.float32)
+                upd = [jnp.where(oh & acc[:, None, :],
+                                 disp[a][jj][:, None, :], 0.0)
+                       for a in range(3)]
+                ox_ref[pl.ds(base, blk)] = (cx + upd[0]).reshape(blk, rt)
+                oy_ref[pl.ds(base, blk)] = (cy + upd[1]).reshape(blk, rt)
+                oz_ref[pl.ds(base, blk)] = (cz + upd[2]).reshape(blk, rt)
+
+                st_ref[0:1] = st_ref[0:1] + jnp.sum(
+                    jnp.where(acc, eps * dej, 0.0), axis=0, keepdims=True)
+                st_ref[1:2] = st_ref[1:2] + jnp.sum(
+                    accf, axis=0, keepdims=True)
+                st_ref[2:3] = st_ref[2:3] + jnp.sum(
+                    valid[jj].astype(jnp.float32), axis=0, keepdims=True)
+
+        def step_body(s, _):
+            color_step(s)
+            return 0
+
+        jax.lax.fori_loop(0, ncyc * 8, step_body, 0, unroll=False)
+
+    def sweep(slabs, count, params, pot3, seeds):
+        x, y, z = slabs
+        rows, rp = x.shape
+        assert rp % rt == 0, rp
+        ntiles = rp // rt
+        lane = lambda bs: pl.BlockSpec((bs, rt), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(ntiles,),
+            out_shape=(jax.ShapeDtypeStruct((rows, rp), jnp.float32),) * 3
+            + (jax.ShapeDtypeStruct((8, rp), jnp.float32),),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # seeds
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # pot3
+                lane(8),                                  # params
+                lane(geom.ncells),                        # count
+                lane(rows), lane(rows), lane(rows),       # slabs
+            ],
+            out_specs=(lane(rows),) * 3 + (lane(8),),
+            input_output_aliases={4: 0, 5: 1, 6: 2},
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(seeds, pot3, params, count, x, y, z)
+        return out[:3], out[3]
+
+    return sweep
