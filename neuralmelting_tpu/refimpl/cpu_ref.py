@@ -83,8 +83,24 @@ def _uniform(key, shape=(), lo=0.0, hi=1.0):
                                          minval=lo, maxval=hi), np.float64)
 
 
-def sweep(st: RefState, kb, p2e, ppos, pvol, eps, sigma, rc):
-    """One sweep of N attempts; mirrors sampler.serial exactly (no HMC)."""
+def forces(pos, box, eps, sigma, rc):
+    """Pair forces, f_i = sum_j (w(r)/r^2)(r_i - r_j) (ops/energy.forces)."""
+    d = pos[:, None, :] - pos[None, :, :]
+    d -= box * np.round(d / box)
+    r2 = (d ** 2).sum(-1)
+    np.fill_diagonal(r2, np.inf)
+    mask = r2 < rc * rc
+    r2s = np.where(mask, r2, 1.0)
+    sr6 = (sigma * sigma / r2s) ** 3
+    w = 24 * eps * (2 * sr6 * sr6 - sr6)
+    coef = np.where(mask, w / r2s, 0.0)
+    return (coef[:, :, None] * d).sum(axis=1)
+
+
+def sweep(st: RefState, kb, p2e, ppos, pvol, eps, sigma, rc,
+          nstps=8, mass=1.0):
+    """One sweep of N attempts; mirrors sampler.serial move for move
+    (position, volume AND HMC — SURVEY.md §2.4's three move types)."""
     n = len(st.pos)
     keys = jax.random.split(st.key, n + 1)
     st.key = keys[0]
@@ -130,7 +146,37 @@ def sweep(st: RefState, kb, p2e, ppos, pvol, eps, sigma, rc):
                     st.pe, st.virial = pe_new, vir_new
                     st.nav += 1
         else:
-            raise NotImplementedError("HMC not in the CPU golden reference")
+            # HMC: mirror of sampler.moves.hmc_move (velocity-Verlet).
+            # The leapfrog runs in float32 like the production kernel:
+            # the dynamics are chaotic, so float64 here would diverge from
+            # the jitted chain within a few trajectories.
+            kv, ka = jax.random.split(km, 2)
+            f32 = np.float32
+            sigma_v = f32(np.sqrt(kb * st.temp / mass))
+            vel = sigma_v * np.asarray(
+                jax.random.normal(kv, (n, 3), jnp.float32), np.float32)
+            ke0 = 0.5 * mass * (vel.astype(np.float64) ** 2).sum()
+            dt = f32(st.dt)
+            box32 = st.box.astype(f32)
+            f = forces(st.pos.astype(f32), box32, eps, sigma, rc)\
+                .astype(f32)
+            pos = st.pos.astype(f32)
+            half = f32(0.5 * dt / mass)
+            for _ in range(nstps):
+                vel_half = vel + half * f
+                pos = pos + dt * vel_half
+                f = forces(pos, box32, eps, sigma, rc).astype(f32)
+                vel = vel_half + half * f
+            pos = pos.astype(np.float64)
+            pe_new, vir_new = total_energy(pos, st.box, eps, sigma, rc)
+            ke1 = 0.5 * mass * (vel.astype(np.float64) ** 2).sum()
+            dh = (pe_new - st.pe) + (ke1 - ke0)
+            ln_u = np.log(_uniform(ka, (), 1e-38, 1.0))
+            st.nth += 1
+            if ln_u < -beta * dh:
+                st.pos = pos - st.box * np.floor(pos / st.box)
+                st.pe, st.virial = pe_new, vir_new
+                st.nah += 1
     st.sweep += 1
     return st
 

