@@ -1,23 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark (BASELINE config 2): LJ 4096-atom NPT Metropolis MC,
-vmapped 8x8 (P,T) replica grid on one chip; metric = attempted MC moves/sec.
+"""Headline benchmark: LJ 4096-atom NPT Metropolis MC at the NORTH-STAR
+scale — a 32x32 (P,T) replica grid (1024 replicas x 4096 atoms) resident
+on one chip; metric = attempted MC moves/sec/chip (BASELINE.md row 3).
 
 Target (BASELINE.md): >= 1.0e8 attempted moves/sec/chip.
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Uses the dense (ghost + MXU matmul) sampler — on this TPU stack dynamic
-gathers run at ~0.06 G elem/s and every lax.scan iteration carries a
-~0.4 ms floor, so trial energies are computed as batched matmuls against a
-ghost-extended position set (docs/tpu_notes.md, sampler/dense.py).
+Engine: the whole-sweep Pallas cell-MC kernel (ops/pallas/cellmc.py) —
+checkerboard position sweeps run entirely in VMEM with in-kernel threefry
+PRNG and acceptance; volume trials and record thermodynamics come from the
+half-stencil pair-sum kernel (E(s*x) exact via LJ's homogeneous scaling).
+Round 1's dense/MXU engine measured 0.875 M moves/s on this chip; the
+kernel engine is ~25x that (see docs/tpu_notes.md for the perf model).
 
-Timing protocol (docs/tpu_notes.md §0, corrected in round 2):
-block_until_ready LIES before the first device readback on this stack
-(returns without waiting), so the bench forces ONE readback after
-warmup+equilibration — which also switches the process into its honest
-(and faster) execution regime — and then times n2-n1 chunks between two
-readback barriers. Verified by A/B in fresh processes: post-readback
-chunk times are stable (4.7 s/chunk) while pre-readback "timings" are
-unawaited-enqueue fiction.
+Timing protocol (docs/tpu_notes.md §0): block_until_ready LIES before the
+first device readback on this stack, so the bench forces ONE readback
+after warmup/equilibration and then times chunks between two readback
+barriers.
 """
 
 import json
@@ -27,90 +26,68 @@ import time
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache: repeat bench invocations skip the ~2-4 min
-# compile (verified not to affect correctness or timing on this stack)
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 sys.path.insert(0, "/root/repo")
 
-from neuralmelting_tpu.models.lattice import make_supercell
-from neuralmelting_tpu.models.lj import LJCut
-from neuralmelting_tpu.ops import cells as cells_ops
-from neuralmelting_tpu.ops import ghosts as GH
-from neuralmelting_tpu.sampler import dense as DS
-from neuralmelting_tpu.sampler.state import ensemble_init
+import numpy as np
 
-SWEEPS_PER_CHUNK = 10
+from neuralmelting_tpu.config import RunConfig
+from neuralmelting_tpu import runner
+from neuralmelting_tpu.sampler import cellmc as SC
+
 BASELINE_TARGET = 1.0e8
+SWEEPS_PER_CHUNK = 20
 
 
 def main():
-    pot = LJCut.create()
-    # 4 * (16*8*8) = 4096 atoms exactly (non-cubic fcc supercell)
-    pos, box = make_supercell("fcc", 2.0 ** (2.0 / 3.0), (16, 8, 8))
-    n = len(pos)
-    npress, ntemp = 8, 8
-    r = npress * ntemp
-    t_grid = jnp.tile(jnp.linspace(0.7, 1.3, ntemp), npress)
-    p_grid = jnp.repeat(jnp.linspace(1.0, 8.0, npress), ntemp)
+    cfg = RunConfig(
+        name="bench", element="LJ", ncells=(16, 8, 8),   # 4096 atoms
+        npress=32, ntemp=32,                              # north-star grid
+        press=tuple(float(p) for p in jnp.linspace(1.0, 8.0, 32)),
+        temp=tuple(float(t) for t in jnp.linspace(0.7, 1.3, 32)),
+        nsmpl=1, mod=SWEEPS_PER_CHUNK, seed=1234,
+        dpos0=0.11, dvol0=0.002)
+    setup = runner.setup_run(cfg, engine="cellmc")
+    npress, ntemp = len(setup.press), len(setup.temp)
+    run = SC.make_cellmc_run_fn(
+        setup.us.kb, setup.us.p2e, setup.geom, mod=SWEEPS_PER_CHUNK,
+        nrecords=1, ncyc=SC.default_ncyc(setup.geom),
+        nvol=1,    # one full-energy volume trial per sweep (see README
+                   # "Known deviations": bursty-vs-stochastic move mix)
+        exchange=True, npress=npress, ntemp=ntemp,
+        adapt=False, write_traj=False)
+    seed0 = jnp.asarray([cfg.seed, cfg.seed + 7], jnp.int32)
 
-    states = ensemble_init(pot, pos, box, 1234, t_grid, p_grid,
-                           dpos0=0.11, dvol_frac0=0.002, dt0=0.005)
-    cellcfg = cells_ops.make_cell_config(box, pot.rc_host, stride=4,
-                                         dpos_cap=0.25)
-    shell = pot.rc_host + 0.4
-    gcap = GH.suggest_gcap(n, box, shell)
-    gms = DS.build_ensemble_ghosts(states, shell, gcap)
-    npasses = max(1, -(-n // cellcfg.ncells_total))
+    def chunk(setup):
+        out = run(setup.states, setup.slabs, setup.slab_count, setup.shift,
+                  setup.slot_of, jax.random.key(cfg.seed + 1), setup.pot,
+                  setup.cell_tabs, setup.t_grid, setup.p_grid, seed0)
+        (states, slabs, count, shift, slot_of, recs, frames,
+         hist, xacc, diag) = out
+        import dataclasses
+        return dataclasses.replace(setup, states=states, slabs=slabs,
+                                   slab_count=count, shift=shift,
+                                   slot_of=slot_of), diag
 
-    sweep = DS.make_dense_sweep_fn(1.0, 1.0, cellcfg,
-                                   npasses=npasses, nvol=1)
-    vsweep = jax.vmap(sweep, in_axes=(None, None, 0, 0))
-    table = jnp.asarray(cellcfg.active_table)
-
-    @jax.jit
-    def chunk(states, gms, pot, table):
-        def body(carry, _):
-            s, g, d = carry
-            s, g, ds = vsweep(pot, table, s, g)
-            d = d | jnp.max(ds)
-            stale = jax.vmap(lambda gg: GH.needs_rebuild(gg, pot.rc))(g)
-            g = jax.lax.cond(
-                jnp.any(stale),
-                lambda: jax.vmap(
-                    lambda gg, b: GH.rewrap_rebuild(gg, b, shell, gcap)
-                )(g, s.box),
-                lambda: g)
-            return (s, g, d), None
-
-        (states, gms, diag), _ = jax.lax.scan(
-            body, (states, gms, jnp.zeros((), jnp.int32)), None,
-            length=SWEEPS_PER_CHUNK)
-        return states, gms, diag
-
-    # warmup/compile + equilibrate (block may lie pre-readback; the first
-    # readback below drains everything enqueued so far)
-    states, gms, diag = chunk(states, gms, pot, table)
-    jax.block_until_ready(states.pos)
-
-    n1, n2 = 2, 6
-    for _ in range(n1):
-        states, gms, diag = chunk(states, gms, pot, table)
-    ntp_a = states.ntp + 0          # device-side counter snapshot
-    ntv_a = states.ntv + 0
-    _ = float(jnp.sum(states.pos))  # REQUIRED: drains the queue and makes
-    t1 = time.perf_counter()        # all later barriers honest (notes §0)
-    for _ in range(n2 - n1):
-        states, gms, diag = chunk(states, gms, pot, table)
-    _ = float(jnp.sum(states.pos))  # closing readback barrier
+    # warmup/compile + equilibrate, then ONE readback (honest-timing mode)
+    setup, diag = chunk(setup)
+    jax.block_until_ready(setup.states.pos)
+    setup, diag = chunk(setup)
+    ntp_a = setup.states.ntp + 0
+    ntv_a = setup.states.ntv + 0
+    _ = float(jnp.sum(setup.states.pos))   # drains queue; honest barriers
+    t1 = time.perf_counter()
+    nchunks = 3
+    for _i in range(nchunks):
+        setup, diag = chunk(setup)
+    _ = float(jnp.sum(setup.states.pos))   # closing readback barrier
     t2 = time.perf_counter()
 
-    # ---- timed region over; full readbacks now allowed ----
     diag_v = int(diag)
-    sweeps_total = int(states.sweep[0])
-    attempted = int(jnp.sum(states.ntp - ntp_a) + jnp.sum(states.ntv - ntv_a))
-    dt_chunk = (t2 - t1) / (n2 - n1)
+    attempted = int(jnp.sum(setup.states.ntp - ntp_a)
+                    + jnp.sum(setup.states.ntv - ntv_a))
     rate = attempted / (t2 - t1)
     print(json.dumps({
         "metric": "mc_attempted_moves_per_sec_per_chip",
@@ -118,13 +95,14 @@ def main():
         "unit": "moves/s",
         "vs_baseline": rate / BASELINE_TARGET,
         "detail": {
-            "natoms": n, "replicas": r,
+            "natoms": setup.natoms,
+            "replicas": len(setup.press) * len(setup.temp),
             "sweeps_per_chunk": SWEEPS_PER_CHUNK,
             "attempted_moves": attempted,
-            "sec_per_chunk": dt_chunk,
-            "sweeps_total": sweeps_total,
+            "sec_per_chunk": (t2 - t1) / nchunks,
+            "sweeps_total": int(setup.states.sweep[0]),
             "diag": diag_v,
-            "engine": "dense-mxu-ghost",
+            "engine": "cellmc-pallas",
             "device": str(jax.devices()[0]),
         },
     }))

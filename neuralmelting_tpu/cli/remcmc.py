@@ -23,8 +23,9 @@ def main(argv=None):
     ap.add_argument("-o", "--outdir", default="output")
     ap.add_argument("--no-traj", action="store_true")
     ap.add_argument("--engine", default="gather",
-                    choices=("gather", "dense"),
-                    help="dense = gather-free MXU sampler (LJ only)")
+                    choices=("gather", "dense", "cellmc"),
+                    help="dense = gather-free MXU sampler; cellmc = "
+                         "whole-sweep Pallas cell kernel (both LJ only)")
     ap.add_argument("--restart", default=None,
                     help="checkpoint .npz to resume from")
     args = ap.parse_args(argv)

@@ -320,6 +320,79 @@ def _offsets26():
             if (dx, dy, dz) != (0, 0, 0)]
 
 
+def _offsets13():
+    """Half-space offsets: each unordered cell pair appears exactly once
+    across (color, offset) iteration (lexicographically positive)."""
+    return [d for d in _offsets26()
+            if d[0] > 0 or (d[0] == 0 and (d[1] > 0 or
+                                           (d[1] == 0 and d[2] > 0)))]
+
+
+def _block_utils(geom: CellGeom, rt: int):
+    """In-kernel helpers shared by the sweep and total-energy kernels."""
+    hx, hy, hz = geom.half
+    k = geom.kcap
+    blk = geom.cw * k
+    strides = (hy * hz * k, hz * k, k)
+    half = (hx, hy, hz)
+
+    def row_iota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+    def roll0(b, shift):
+        """Static sublane roll; skips identity (a full-size roll would
+        lower to a zero-length slice, which Mosaic rejects)."""
+        s = shift % b.shape[0]
+        return b if s == 0 else jnp.roll(b, s, axis=0)
+
+    def aligned_block(ref, coord_axis, sbits, off, axis_l):
+        """Neighbor color block aligned to the active color's w-grid.
+
+        The active color is TRACED (sbits = per-axis color bits): for each
+        offset axis with d_a != 0 the w-grid carry is +-1 exactly when the
+        active bit matches the step direction, so the carry-aligned
+        variant is computed with STATIC rolls and selected by the traced
+        bit. Row alignment is coordinate-independent; the periodic +-L
+        image correction applies only to the coordinate of the axis that
+        wrapped (coord_axis).
+        """
+        dvec = off
+        mcode = (abs(dvec[0]) * 2 + abs(dvec[1])) * 2 + abs(dvec[2])
+        color = (sbits[0] * 2 + sbits[1]) * 2 + sbits[2]
+        cprime = color ^ mcode
+        b = ref[pl.ds(cprime * blk, blk)]               # (blk, rt)
+        rows = row_iota((blk, 1), 0)
+        for a in range(3):
+            da = dvec[a]
+            if da == 0:
+                continue
+            # carry is active iff stepping past this axis' color pair
+            active = (sbits[a] == (1 if da > 0 else 0)).reshape(1, 1)
+            va = (rows // strides[a]) % half[a]
+            edge = (half[a] - 1) if da > 0 else 0
+            if half[a] == 1:
+                rolled = b        # single w-cell: identity alignment
+            elif a == 0:
+                # outermost axis: flat roll wraps exactly
+                rolled = roll0(b, -da * strides[a])
+            else:
+                # jnp.roll(b, s): out[i] = in[i - s]. Main rows read
+                # in[i + da*stride]; wrap rows (edge of the w-grid)
+                # read the opposite end: in[i - da*(half-1)*stride].
+                main = roll0(b, -da * strides[a])
+                wrap = roll0(b, da * (half[a] - 1) * strides[a])
+                rolled = jnp.where(va == edge, wrap, main)
+            if a == coord_axis:
+                # rows whose source cell wrapped around the box read
+                # the periodic image: high wrap -> +L, low wrap -> -L
+                rolled = rolled + jnp.where(
+                    va == edge, jnp.float32(da) * axis_l[a], 0.0)
+            b = jnp.where(active, rolled, b)
+        return b
+
+    return row_iota, roll0, aligned_block
+
+
 def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
                   rt: int = RT):
     """Build ``sweep(slabs, count, params, pot3, seeds) -> (slabs, stats)``.
@@ -345,9 +418,7 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
     blk = cw * k               # rows per color block
     strides = (hy * hz * k, hz * k, k)   # w-grid row strides per axis
     half = (hx, hy, hz)
-
-    def row_iota(shape, dim):
-        return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+    row_iota, roll0, aligned_block = _block_utils(geom, rt)
 
     def kernel(seed_ref, pot_ref, params_ref, count_ref,
                x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref, st_ref):
@@ -382,57 +453,6 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             sr6 = sr2 * sr2 * sr2
             e = jnp.where(mask & (r2 < rc2), sr6 * sr6 - sr6, 0.0)
             return 4.0 * jnp.sum(e, axis=-2)
-
-        def roll0(b, shift):
-            """Static sublane roll; skips identity (a full-size roll would
-            lower to a zero-length slice, which Mosaic rejects)."""
-            s = shift % b.shape[0]
-            return b if s == 0 else jnp.roll(b, s, axis=0)
-
-        def aligned_block(ref, coord_axis, sbits, off, axis_l):
-            """Neighbor color block aligned to the active color's w-grid.
-
-            The active color is TRACED (sbits = per-axis color bits as
-            scalars): for each offset axis with d_a != 0 the w-grid carry
-            is +-1 exactly when the active bit matches the step direction,
-            so the carry-aligned variant is computed with STATIC rolls and
-            selected by the traced bit. Row alignment is coordinate-
-            independent; the periodic +-L image correction applies only to
-            the coordinate of the axis that wrapped (coord_axis).
-            """
-            dvec = off
-            mcode = (abs(dvec[0]) * 2 + abs(dvec[1])) * 2 + abs(dvec[2])
-            color = (sbits[0] * 2 + sbits[1]) * 2 + sbits[2]
-            cprime = color ^ mcode
-            b = ref[pl.ds(cprime * blk, blk)]               # (blk, rt)
-            rows = row_iota((blk, 1), 0)
-            for a in range(3):
-                da = dvec[a]
-                if da == 0:
-                    continue
-                # carry is active iff stepping past this axis' color pair
-                active = (sbits[a] == (1 if da > 0 else 0)).reshape(1, 1)
-                va = (rows // strides[a]) % half[a]
-                edge = (half[a] - 1) if da > 0 else 0
-                if half[a] == 1:
-                    rolled = b        # single w-cell: identity alignment
-                elif a == 0:
-                    # outermost axis: flat roll wraps exactly
-                    rolled = roll0(b, -da * strides[a])
-                else:
-                    # jnp.roll(b, s): out[i] = in[i - s]. Main rows read
-                    # in[i + da*stride]; wrap rows (edge of the w-grid)
-                    # read the opposite end: in[i - da*(half-1)*stride].
-                    main = roll0(b, -da * strides[a])
-                    wrap = roll0(b, da * (half[a] - 1) * strides[a])
-                    rolled = jnp.where(va == edge, wrap, main)
-                if a == coord_axis:
-                    # rows whose source cell wrapped around the box read
-                    # the periodic image: high wrap -> +L, low wrap -> -L
-                    rolled = rolled + jnp.where(
-                        va == edge, jnp.float32(da) * axis_l[a], 0.0)
-                b = jnp.where(active, rolled, b)
-            return b
 
         def color_step(step):
             color = jax.lax.rem(step, 8)
@@ -570,3 +590,141 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
         return out[:3], out[3]
 
     return sweep
+
+
+def make_total_fn(geom: CellGeom, interpret: bool = False, rt: int = RT):
+    """Build ``total(slabs, params, pot3, scale) -> sums (8, Rp)``.
+
+    One half-stencil pass over the slab state accumulating the raw LJ pair
+    sums, each unordered pair exactly once:
+
+      row 0: S12o = sum_{r<rc}    4 (sigma/r)^12
+      row 1: S6o  = sum_{r<rc}    4 (sigma/r)^6
+      row 2: S12s = sum_{r<rc/s}  4 (sigma/r)^12
+      row 3: S6s  = sum_{r<rc/s}  4 (sigma/r)^6
+
+    From these the engine gets drift-free record thermodynamics AND the
+    exact total energy of the isotropically scaled configuration:
+
+      E      = eps (S12o - S6o)
+      W      = eps (12 S12o - 6 S6o)          (pair virial sum r*f)
+      E(s x) = eps (s^-12 S12s - s^-6 S6s)
+
+    because LJ scales homogeneously and the scaled system's cutoff
+    (r' = s r < rc) is exactly the second mask. One pass therefore serves
+    both thermo records (s=1) and NPT volume-move trials (s = proposed
+    rescale, per replica) — no ghost build, no second energy pass.
+
+    ``scale`` is (1, Rp) f32. Replaces the dense engine's
+    total_energy_virial_dense + GhostMap path on the slab state.
+    """
+    k = geom.kcap
+    cw = geom.cw
+    blk = cw * k
+    mch = 8                           # mover slots per chunk
+    row_iota, roll0, aligned_block = _block_utils(geom, rt)
+
+    def kernel(pot_ref, params_ref, scale_ref, x_ref, y_ref, z_ref, st_ref):
+        sig2 = pot_ref[1] * pot_ref[1]
+        rc2 = pot_ref[2] * pot_ref[2]
+        lvec = [params_ref[5 + a:6 + a] for a in range(3)]
+        s = scale_ref[0:1]
+        rc2s = rc2 / (s * s)                          # (1, rt)
+        st_ref[:] = jnp.zeros_like(st_ref)
+
+        kio = row_iota((1, 1, k, 1), 2)
+        qio = row_iota((1, mch, 1, 1), 1)
+
+        def accum(mov, cand, selfmask, weight):
+            """mov 3x(cw,mch,1,rt), cand 3x(cw,1,k,rt) -> accumulate into
+            st_ref rows 0-3. (Accumulating in loop-local values and
+            writing once per color step measured SLOWER — 18.6 vs 14.8 ms
+            — as did hoisting the aligned blocks out of the chunk loop,
+            26.4 ms: Mosaic schedules the straightforward form best.)"""
+            d0 = cand[0] - mov[0]
+            d1 = cand[1] - mov[1]
+            d2 = cand[2] - mov[2]
+            r2 = d0 * d0 + d1 * d1 + d2 * d2
+            ok = (cand[0] < 0.1 * INVALID) & (mov[0] < 0.1 * INVALID)
+            if selfmask is not None:
+                ok = ok & ~selfmask
+            sr2 = sig2 / jnp.maximum(r2, 1e-12)
+            sr6 = sr2 * sr2 * sr2
+            q6 = 4.0 * sr6
+            q12 = q6 * sr6
+            mo = ok & (r2 < rc2)
+            ms = ok & (r2 < rc2s)
+            red = lambda v: jnp.sum(v, axis=(0, 1, 2))[None, :]  # (1, rt)
+            st_ref[0:1] = st_ref[0:1] + weight * red(
+                jnp.where(mo, q12, 0.0))
+            st_ref[1:2] = st_ref[1:2] + weight * red(
+                jnp.where(mo, q6, 0.0))
+            st_ref[2:3] = st_ref[2:3] + weight * red(
+                jnp.where(ms, q12, 0.0))
+            st_ref[3:4] = st_ref[3:4] + weight * red(
+                jnp.where(ms, q6, 0.0))
+
+        def color_step(color, _):
+            sbits = (color // 4, (color // 2) % 2, color % 2)
+            base = color * blk
+            bx = x_ref[pl.ds(base, blk)].reshape(cw, k, rt)
+            by = y_ref[pl.ds(base, blk)].reshape(cw, k, rt)
+            bz = z_ref[pl.ds(base, blk)].reshape(cw, k, rt)
+            own = [jnp.expand_dims(b, 1) for b in (bx, by, bz)]
+            # (cw, 1, k, rt)
+
+            for c in range(k // mch):
+                # slice then expand: mixing slices with newaxis lowers to
+                # an (unsupported) >2D gather in Mosaic
+                mov = [jnp.expand_dims(
+                    jax.lax.slice_in_dim(b, c * mch, (c + 1) * mch,
+                                         axis=1), 2)
+                       for b in (bx, by, bz)]                # (cw,mch,1,rt)
+                # own cell: every (i != j) pair twice -> weight 1/2
+                selfm = kio == (c * mch + qio)               # (1,mch,k,1)
+                accum(mov, own, selfm, 0.5)
+                for off in _offsets13():
+                    cnd = [jnp.expand_dims(
+                        aligned_block(r, a, sbits, off, lvec)
+                        .reshape(cw, k, rt), 1)
+                           for a, r in enumerate((x_ref, y_ref, z_ref))]
+                    accum(mov, cnd, None, 1.0)
+            return 0
+
+        jax.lax.fori_loop(0, 8, color_step, 0, unroll=False)
+
+    def total(slabs, params, pot3, scale):
+        x, y, z = slabs
+        rows, rp = x.shape
+        assert rp % rt == 0, rp
+        ntiles = rp // rt
+        lane = lambda bs: pl.BlockSpec((bs, rt), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(ntiles,),
+            out_shape=jax.ShapeDtypeStruct((8, rp), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # pot3
+                lane(8),                                  # params
+                lane(1),                                  # scale
+                lane(rows), lane(rows), lane(rows),       # slabs
+            ],
+            out_specs=lane(8),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(pot3, params, scale, x, y, z)
+
+    return total
+
+
+def combine_sums(sums, eps, scale):
+    """(E, W, E_scaled) per replica from make_total_fn's raw pair sums."""
+    s12o, s6o, s12s, s6s = sums[0], sums[1], sums[2], sums[3]
+    e = eps * (s12o - s6o)
+    w = eps * (12.0 * s12o - 6.0 * s6o)
+    si = 1.0 / scale
+    si6 = si * si * si * si * si * si
+    e_scaled = eps * (si6 * si6 * s12s - si6 * s6s)
+    return e, w, e_scaled

@@ -30,6 +30,8 @@ from neuralmelting_tpu.ops import cells as cells_ops
 from neuralmelting_tpu.ops import ghosts as GH
 from neuralmelting_tpu.ops import potential_ops as PO
 from neuralmelting_tpu.parallel import ensemble as ENS
+from neuralmelting_tpu.ops.pallas import cellmc as CMK
+from neuralmelting_tpu.sampler import cellmc as SC
 from neuralmelting_tpu.sampler import dense as DS
 from neuralmelting_tpu.sampler.driver import ThermoRecord
 from neuralmelting_tpu.sampler.state import ensemble_init
@@ -54,10 +56,16 @@ class RunSetup:
     table: jnp.ndarray
     slot_of: jnp.ndarray
     natoms: int
-    engine: str = "gather"          # "gather" | "dense" (pair-only)
+    engine: str = "gather"     # "gather" | "dense" | "cellmc" (pair-only)
     gms: object = None              # GhostMap ensemble (dense engine)
     shell: float = 0.0
     gcap: int = 0
+    # cellmc engine state (slab-resident positions)
+    geom: object = None
+    slabs: object = None            # (x, y, z, ids) leading-R
+    slab_count: object = None       # (R, C) i32
+    shift: object = None            # (3,) fractional grid shift
+    cell_tabs: object = None        # (3, C*K) i32 static row tables
 
 
 def build_potential(cfg: RunConfig, setfl: Optional[str] = None):
@@ -101,26 +109,44 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
     cellcfg = cells_ops.make_cell_config(box, rng, stride=stride,
                                          dpos_cap=0.25)
     cap = cfg.max_neighbors if cfg.max_neighbors > 0 else None
-    nls, cap = ENS.build_ensemble_nl(pot, states, skin=cfg.skin,
-                                     capacity=cap, box_host=box)
-    aux = ENS.build_ensemble_aux(pot, states, nls)
-    pops = PO.ops_for_style(style)
-    pe, vir = jax.vmap(lambda p, b, nl: pops.total(pot, p, b, nl))(
-        states.pos, states.box, nls)
-    states = states.replace(pe=pe, virial=vir)
+    nls = aux = None
+    if engine != "cellmc":
+        # slab engine needs no neighbor lists; building them for a
+        # 32x32-grid ensemble would alone exceed HBM
+        nls, cap = ENS.build_ensemble_nl(pot, states, skin=cfg.skin,
+                                         capacity=cap, box_host=box)
+        aux = ENS.build_ensemble_aux(pot, states, nls)
+        pops = PO.ops_for_style(style)
+        pe, vir = jax.vmap(lambda p, b, nl: pops.total(pot, p, b, nl))(
+            states.pos, states.box, nls)
+        states = states.replace(pe=pe, virial=vir)
     gms, shell, gcap = None, 0.0, 0
+    geom = slabs = slab_count = shift = cell_tabs = None
     if engine == "dense":
         if style != "pair":
             raise ValueError("dense engine supports pair potentials only")
         shell = pot.rc_host + cfg.skin
         gcap = GH.suggest_gcap(n, box, shell)
         gms = DS.build_ensemble_ghosts(states, shell, gcap)
+    elif engine == "cellmc":
+        if style != "pair":
+            raise ValueError("cellmc engine supports pair potentials only")
+        geom = CMK.make_geom(box, pot.rc_host, n)
+        shift = jnp.zeros((3,), jnp.float32)
+        slabs, slab_count, over = SC.build_slabs(geom, states, shift)
+        if bool(over):
+            raise RuntimeError("cell slot capacity overflow at setup; "
+                               "raise kcap")
+        cell_tabs = jnp.asarray(CMK.geom_tables(geom))
+        states = SC.refresh_energies(geom, states, slabs, pot)
     return RunSetup(cfg=cfg, pot=pot, style=style, us=us, mass=el.mass,
                     press=press, temp=temp, t_grid=t_grid, p_grid=p_grid,
                     states=states, nls=nls, aux=aux, cap=cap,
                     cellcfg=cellcfg, table=jnp.asarray(cellcfg.active_table),
                     slot_of=jnp.arange(r, dtype=jnp.int32), natoms=n,
-                    engine=engine, gms=gms, shell=shell, gcap=gcap)
+                    engine=engine, gms=gms, shell=shell, gcap=gcap,
+                    geom=geom, slabs=slabs, slab_count=slab_count,
+                    shift=shift, cell_tabs=cell_tabs)
 
 
 def restore_setup(setup: RunSetup, checkpoint_path: str) -> RunSetup:
@@ -137,19 +163,28 @@ def restore_setup(setup: RunSetup, checkpoint_path: str) -> RunSetup:
     if cfg_json not in ("{}", setup.cfg.to_json()):
         warnings.warn("checkpoint was written with a different RunConfig; "
                       "proceeding with the current flags")
-    nls, _ = ENS.build_ensemble_nl(setup.pot, states, skin=setup.cfg.skin,
-                                   capacity=setup.cap)
-    aux = ENS.build_ensemble_aux(setup.pot, states, nls)
-    pops = PO.ops_for_style(setup.style)
-    pe, vir = jax.vmap(
-        lambda p, b, nl: pops.total(setup.pot, p, b, nl)
-    )(states.pos, states.box, nls)
-    states = states.replace(pe=pe, virial=vir)
+    nls, aux = setup.nls, setup.aux
+    if setup.engine != "cellmc":
+        nls, _ = ENS.build_ensemble_nl(setup.pot, states,
+                                       skin=setup.cfg.skin,
+                                       capacity=setup.cap)
+        aux = ENS.build_ensemble_aux(setup.pot, states, nls)
+        pops = PO.ops_for_style(setup.style)
+        pe, vir = jax.vmap(
+            lambda p, b, nl: pops.total(setup.pot, p, b, nl)
+        )(states.pos, states.box, nls)
+        states = states.replace(pe=pe, virial=vir)
     gms = setup.gms
     if setup.engine == "dense":
         gms = DS.build_ensemble_ghosts(states, setup.shell, setup.gcap)
+    extra = {}
+    if setup.engine == "cellmc":
+        shift = jnp.zeros((3,), jnp.float32)
+        slabs, slab_count, _ = SC.build_slabs(setup.geom, states, shift)
+        states = SC.refresh_energies(setup.geom, states, slabs, setup.pot)
+        extra = dict(slabs=slabs, slab_count=slab_count, shift=shift)
     return dataclasses.replace(setup, states=states, slot_of=slot_of,
-                               nls=nls, aux=aux, gms=gms)
+                               nls=nls, aux=aux, gms=gms, **extra)
 
 
 def nvol_per_sweep(cfg: RunConfig, natoms: int) -> int:
@@ -175,7 +210,25 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
 
     import time as _time
     _t0 = _time.time()
-    if setup.engine == "dense":
+    if setup.engine == "cellmc":
+        run = SC.make_cellmc_run_fn(
+            setup.us.kb, setup.us.p2e, setup.geom, mod=cfg.mod,
+            nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
+            nvol=nvol, factor=cfg.adapt_factor,
+            targets=(cfg.acc_target_pos, cfg.acc_target_vol,
+                     cfg.acc_target_hmc),
+            exchange=True, npress=npress, ntemp=ntemp,
+            write_traj=write_traj)
+        out = run(setup.states, setup.slabs, setup.slab_count, setup.shift,
+                  setup.slot_of, jax.random.key(cfg.seed + 1), setup.pot,
+                  setup.cell_tabs, setup.t_grid, setup.p_grid,
+                  jnp.asarray([cfg.seed, cfg.seed + 7], jnp.int32))
+        (states, slabs, slab_count, shift, slot_of, recs, frames,
+         hist, xacc, diag) = out
+        nls, aux = setup.nls, setup.aux
+        setup = dataclasses.replace(setup, slabs=slabs,
+                                    slab_count=slab_count, shift=shift)
+    elif setup.engine == "dense":
         import neuralmelting_tpu.sampler.checkerboard as CB
         npasses = CB.default_npasses(setup.natoms, setup.cellcfg)
         run = DS.make_dense_run_fn(

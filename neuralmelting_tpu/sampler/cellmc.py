@@ -1,0 +1,307 @@
+"""Production LJ engine on the whole-sweep Pallas cell-MC kernel.
+
+Same Markov chain family as sampler/dense.py (NPT Metropolis: position
+sweeps + volume trials + parallel tempering), third compute mapping: the
+position hot loop runs entirely inside ops/pallas/cellmc.py's kernel
+(cell-confined checkerboard moves, VMEM-resident state), and volume
+trials / record thermodynamics come from the half-stencil pair-sum kernel
+(make_total_fn) — E(s*x) is exact from the same pass via LJ's homogeneous
+scaling, so no ghost images and no second energy pass are ever built.
+
+State between records lives in SLABS (binned positions, shifted frame);
+``states.pos`` is synced and energies/virials refreshed drift-free at
+every record point, exactly the dense engine's contract. Tempering swaps
+slot identities (temp/press/step sizes) between replicas while
+configurations stay put, so sampler/tempering.py works unchanged.
+
+Known deviations from the serial chain (same stationary distribution):
+  * per-atom trial counts within a sweep depend on cell occupancy (one
+    trial per occupied slot-group per color step);
+  * in-cell confinement rejects proposals that leave the mover's cell
+    (Anderson et al. arXiv:1509.04692 — balance holds exactly);
+  * grid-shift rebinning advances one axis per sweep.
+
+Reference parity: replaces lammps_remcmc.py's gen_sample hot loop
+(SURVEY.md §3.1). LJ/pair-only; EAM rides the gather engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neuralmelting_tpu.ops.pallas import cellmc as CM
+from neuralmelting_tpu.sampler import tempering
+from neuralmelting_tpu.sampler.adapt import adapt_step_sizes
+from neuralmelting_tpu.sampler.driver import make_record
+
+DIAG_CB_INVALID = 2          # cell width fell below rc (box shrank)
+DIAG_SLAB_OVERFLOW = 4       # a cell exceeded its K slot capacity
+
+
+def default_ncyc(geom) -> int:
+    """Checkerboard cycles per sweep so attempted moves ~= natoms.
+
+    Attempts per cycle ~ 0.75 * ncells * nsub (the last slot group of a
+    cell is partially occupied; measured valid fraction ~0.7-0.8)."""
+    per_cycle = 0.75 * geom.ncells * geom.nsub
+    return max(1, int(round(geom.natoms / per_cycle)))
+
+
+def pick_rt(r: int) -> int:
+    """Lane-tile width for R replicas (kernel grid = R/rt programs)."""
+    if r <= 128:
+        return r
+    if r % 128:
+        raise ValueError(f"replica count {r} > 128 must be a multiple "
+                         "of 128 for the cell-MC kernel lane tiling")
+    return 128
+
+
+def build_slabs(geom, states, shift):
+    """Bin an ensemble's positions -> (x, y, z, ids, count, overflow),
+    all leading-R. Off the hot path (chunk start / restart)."""
+    def one(pos, box):
+        return CM.bin_initial(geom, pos, box, shift)
+    x, y, z, ids, count, over = jax.vmap(one)(states.pos, states.box)
+    return (x, y, z, ids), count, jnp.any(over)
+
+
+def make_cellmc_run_fn(kb, p2e, geom, mod: int, nrecords: int,
+                       ncyc: int = 4, nvol: int = 1,
+                       targets=(0.5, 0.5, 0.5), factor: float = 1.0625,
+                       write_traj: bool = False, exchange: bool = False,
+                       npress: int = 0, ntemp: int = 0, rt: int = 0,
+                       interpret=None, adapt: bool = True,
+                       jit: bool = True):
+    """Build the jitted chunk runner.
+
+    Without exchange:
+      ``run(states, slabs, count, shift, pot, cell_tabs, seed0) ->
+        (states, slabs, count, shift, recs, frames, diag)``
+    With exchange:
+      ``run(states, slabs, count, shift, slot_of, xkey, pot, cell_tabs,
+        t_grid, p_grid, seed0) -> (..., slot_of, recs, frames, hist,
+        xacc, diag)``
+
+    ``slabs`` = (x, y, z, ids) leading-R; ``count`` (R, C); ``shift`` (3,)
+    fractional grid shift; ``cell_tabs`` (3, C*K) static per-row cell
+    coords (CM.geom_tables — passed in, never baked); ``seed0`` (2,) i32
+    base key for the in-kernel threefry stream (fold chunk index in so
+    chained chunks never replay randomness).
+    """
+    if interpret is None:      # compiled Pallas exists only on TPU
+        interpret = jax.default_backend() != "tpu"
+    nxf, nyf, nzf = (float(n) for n in geom.ncell)   # Python scalars:
+    # never bake array constants into traced code (docs/tpu_notes.md §1)
+    deltas = [0.9 / n for n in geom.ncell]
+
+    def get_kernels(r):
+        rtt = rt or pick_rt(r)
+        return (CM.make_sweep_fn(geom, ncyc=ncyc, interpret=interpret,
+                                 rt=rtt),
+                CM.make_total_fn(geom, interpret=interpret, rt=rtt),
+                r // rtt)
+
+    def params_of(states):
+        wvec = jnp.stack([states.box[:, 0] / nxf, states.box[:, 1] / nyf,
+                          states.box[:, 2] / nzf], axis=1)   # (R, 3)
+        wmin = jnp.min(wvec, axis=-1)
+        dpos_eff = jnp.minimum(states.dpos, 0.45 * wmin)
+        return jnp.stack([
+            1.0 / (kb * states.temp), dpos_eff,
+            wvec[:, 0], wvec[:, 1], wvec[:, 2],
+            states.box[:, 0], states.box[:, 1], states.box[:, 2]])
+
+    def totals(total, slabs, params, pot, scale):
+        x, y, z, _ = slabs
+        sums = total((x.T, y.T, z.T), params, _pot3(pot), scale[None, :])
+        return CM.combine_sums(sums, pot.eps, scale)      # e, w, e_scaled
+
+    def _pot3(pot):
+        return jnp.stack([pot.eps, pot.sigma, pot.rc,
+                          jnp.zeros_like(pot.eps)])
+
+    def sweep_step(carry, pot, cell_tabs, seed0, kernels):
+        sweep_k, total_k, ntiles = kernels
+        states, slabs, count, shift, key, diag = carry
+        x, y, z, ids = slabs
+        r = x.shape[0]
+
+        # geometry validity: every cell must still cover rc
+        wmin = jnp.min(jnp.stack([states.box[:, 0] / nxf,
+                                  states.box[:, 1] / nyf,
+                                  states.box[:, 2] / nzf]))
+        diag = diag | jnp.where(wmin < pot.rc, DIAG_CB_INVALID,
+                                0).astype(jnp.int32)
+
+        # --- position sweep (in-kernel) ------------------------------
+        sweep_id = states.sweep[0]
+        seeds = jnp.stack([
+            seed0[0] + sweep_id * np.int32(ntiles)
+            + jnp.arange(ntiles, dtype=jnp.int32),
+            jnp.broadcast_to(seed0[1], (ntiles,))], axis=1)
+        params = params_of(states)
+        (xt, yt, zt), st = sweep_k((x.T, y.T, z.T), count.T, params,
+                                   _pot3(pot), seeds)
+        x, y, z = xt.T, yt.T, zt.T
+        states = states.replace(
+            pe=states.pe + st[0],
+            nap=states.nap + st[1].astype(jnp.int32),
+            ntp=states.ntp + st[2].astype(jnp.int32))
+
+        # --- volume trials (total kernel; E(s x) exact) --------------
+        key, kvol, kreb = jax.random.split(key, 3)
+        for v in range(nvol):
+            kv = jax.random.fold_in(kvol, v)
+            ku, ka = jax.random.split(kv)
+            u = jax.random.uniform(ku, (r,), jnp.float32)
+            vol = jnp.prod(states.box, axis=-1)
+            dv = states.dvol * (2.0 * u - 1.0)
+            ok = (vol + dv) > 0.0
+            s = jnp.where(ok, jnp.cbrt(jnp.maximum(vol + dv, 1e-6) / vol),
+                          1.0)
+            e_old, w_old, e_new = totals(total_k, (x, y, z, ids),
+                                         params, pot, s)
+            beta = 1.0 / (kb * states.temp)
+            n = geom.natoms
+            ln_acc = (-beta * ((e_new - e_old) + states.press * p2e * dv)
+                      + n * jnp.log(jnp.where(ok, (vol + dv) / vol, 1.0)))
+            ln_u = jnp.log(jax.random.uniform(ka, (r,), jnp.float32,
+                                              1e-38, 1.0))
+            acc = ok & (ln_u < ln_acc)
+            sca = jnp.where(acc, s, 1.0)[:, None]
+            x = jnp.where(x < 0.1 * CM.INVALID, x * sca, x)
+            y = jnp.where(y < 0.1 * CM.INVALID, y * sca, y)
+            z = jnp.where(z < 0.1 * CM.INVALID, z * sca, z)
+            states = states.replace(
+                box=states.box * sca,
+                pe=jnp.where(acc, e_new, e_old),   # drift-free either way
+                virial=w_old,
+                nav=states.nav + acc.astype(jnp.int32),
+                ntv=states.ntv + 1)
+
+        # --- grid-shift rebinning (one axis per sweep) ---------------
+        axis_t = jax.lax.rem(states.sweep[0], 3)
+        du = jax.random.uniform(kreb, (), jnp.float32)
+
+        def do_axis(a):
+            def f():
+                delta = du * deltas[a]
+                slabs2, count2, over = CM.rebin_axis(
+                    geom, (x, y, z, ids), count, states.box, delta, a,
+                    cell_tab=cell_tabs[a])
+                return slabs2, count2, over, \
+                    shift.at[a].add(delta)
+            return f
+
+        (x, y, z, ids), count, over, shift = jax.lax.switch(
+            axis_t, [do_axis(0), do_axis(1), do_axis(2)])
+        diag = diag | jnp.where(over, DIAG_SLAB_OVERFLOW,
+                                0).astype(jnp.int32)
+
+        states = states.replace(sweep=states.sweep + 1)
+        return (states, (x, y, z, ids), count, shift, key, diag)
+
+    def block_core(carry, pot, cell_tabs, seed0, kernels):
+        carry, _ = jax.lax.scan(
+            lambda c, _: (sweep_step(c, pot, cell_tabs, seed0, kernels),
+                          None),
+            carry, None, length=mod)
+        states, slabs, count, shift, key, diag = carry
+        # drift-free energetics + position sync at the record point
+        r = states.temp.shape[0]
+        params = params_of(states)
+        e, w, _ = totals(kernels[1], slabs, params, pot,
+                         jnp.ones((r,), jnp.float32))
+        pos = jax.vmap(lambda s4x, s4y, s4z, s4i, b: CM.unbin(
+            geom, (s4x, s4y, s4z, s4i), b, shift))(
+            slabs[0], slabs[1], slabs[2], slabs[3], states.box)
+        states = states.replace(pe=e, virial=w, pos=pos)
+        rec = jax.vmap(lambda s: make_record(s, kb))(states)
+        if adapt:    # bench runs keep counters accumulating instead
+            states = jax.vmap(
+                lambda s: adapt_step_sizes(s, targets=targets,
+                                           factor=factor))(states)
+        frame = (states.pos, states.box) if write_traj else ()
+        return (states, slabs, count, shift, key, diag), rec, frame
+
+    if not exchange:
+        def run(states, slabs, count, shift, pot, cell_tabs, seed0):
+            kernels = get_kernels(states.temp.shape[0])
+            key0 = jax.random.key(0)
+            key0 = jax.random.fold_in(key0, seed0[0])
+
+            def record_block(carry, _):
+                carry, rec, frame = block_core(carry, pot, cell_tabs,
+                                               seed0, kernels)
+                return carry, (rec, frame)
+
+            diag0 = jnp.zeros((), jnp.int32)
+            carry = (states, slabs, count, shift, key0, diag0)
+            carry, (recs, frames) = jax.lax.scan(record_block, carry,
+                                                 None, length=nrecords)
+            states, slabs, count, shift, _, diag = carry
+            return (states, slabs, count, shift, recs,
+                    (frames if write_traj else None), diag)
+
+        return jax.jit(run, donate_argnums=(0, 1, 2)) if jit else run
+
+    assert npress * ntemp > 0
+
+    def run_x(states, slabs, count, shift, slot_of, xkey, pot, cell_tabs,
+              t_grid, p_grid, seed0):
+        kernels = get_kernels(states.temp.shape[0])
+        key0 = jax.random.fold_in(jax.random.key(1), seed0[0])
+
+        def record_block_x(carry, event_idx):
+            (states, slabs, count, shift, key, slot_of, diag) = carry
+            inner = (states, slabs, count, shift, key, diag)
+            inner, rec, frame = block_core(inner, pot, cell_tabs,
+                                           seed0, kernels)
+            states, slabs, count, shift, key, diag = inner
+            slots_at_record = slot_of
+            # fold the sweep counter in: chained chunks/restarts never
+            # replay exchange randomness (ADVICE.md r1)
+            ekey = jax.random.fold_in(jax.random.fold_in(xkey, event_idx),
+                                      states.sweep[0])
+            states, slot_of, n_acc = tempering.exchange_event(
+                states, slot_of, ekey, event_idx, npress, ntemp,
+                t_grid, p_grid, kb, p2e)
+            return (states, slabs, count, shift, key, slot_of, diag), \
+                (rec, frame, slots_at_record, n_acc)
+
+        diag0 = jnp.zeros((), jnp.int32)
+        carry = (states, slabs, count, shift, key0, slot_of, diag0)
+        carry, (recs, frames, hist, xacc) = jax.lax.scan(
+            record_block_x, carry, jnp.arange(nrecords), length=nrecords)
+        states, slabs, count, shift, _, slot_of, diag = carry
+        return (states, slabs, count, shift, slot_of, recs,
+                (frames if write_traj else None), hist, xacc, diag)
+
+    return jax.jit(run_x, donate_argnums=(0, 1, 2)) if jit else run_x
+
+
+def refresh_energies(geom, states, slabs, pot, rt: int = 0,
+                     interpret=None):
+    """Exact pe/virial for an ensemble from its slabs (setup/restart)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    r = states.temp.shape[0]
+    rtt = rt or pick_rt(r)
+    total = CM.make_total_fn(geom, interpret=interpret, rt=rtt)
+    nxf, nyf, nzf = (float(n) for n in geom.ncell)
+    wvec = jnp.stack([states.box[:, 0] / nxf, states.box[:, 1] / nyf,
+                      states.box[:, 2] / nzf], axis=1)
+    params = jnp.stack([
+        jnp.ones((r,), jnp.float32), jnp.ones((r,), jnp.float32),
+        wvec[:, 0], wvec[:, 1], wvec[:, 2],
+        states.box[:, 0], states.box[:, 1], states.box[:, 2]])
+    pot3 = jnp.stack([pot.eps, pot.sigma, pot.rc, jnp.zeros_like(pot.eps)])
+    x, y, z, _ = slabs
+    sums = total((x.T, y.T, z.T), params, pot3,
+                 jnp.ones((1, r), jnp.float32))
+    e, w, _ = CM.combine_sums(sums, pot.eps, jnp.ones((r,), jnp.float32))
+    return states.replace(pe=e, virial=w)
