@@ -28,6 +28,10 @@ def main(argv=None):
                          "whole-sweep Pallas cell kernel (both LJ only)")
     ap.add_argument("--restart", default=None,
                     help="checkpoint .npz to resume from")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the sampling "
+                         "chunk into DIR (open with xprof/tensorboard; "
+                         "kernel-level time attribution - SURVEY.md §5)")
     args = ap.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -41,9 +45,16 @@ def main(argv=None):
     from neuralmelting_tpu.utils import MetricsLogger
     metrics = MetricsLogger(os.path.join(args.outdir, "metrics.jsonl"),
                             run_id=cfg.name)
-    setup, recs, frames, hist, xacc, diag = runner.run_sampling(
-        setup, outdir=args.outdir, checkpoint_path=ckpath,
-        write_traj=not args.no_traj, metrics=metrics)
+    import contextlib
+    import jax as _jax
+    prof = (_jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        setup, recs, frames, hist, xacc, diag = runner.run_sampling(
+            setup, outdir=args.outdir, checkpoint_path=ckpath,
+            write_traj=not args.no_traj, metrics=metrics)
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
     import numpy as np
     nmoves = int(np.asarray(setup.states.ntp).sum())
     print(json.dumps({
