@@ -66,24 +66,32 @@ RT = 128                # replica lane tile
 
 @dataclasses.dataclass(frozen=True)
 class CellGeom:
-    """Static slab geometry. Cells of width >= rc (checkerboard stride 2);
-    each axis count even so colors tile periodically."""
-    ncell: tuple            # (nx, ny, nz), all even, >= 2
+    """Static slab geometry: cells of width >= rc, checkerboard stride s
+    (s=2 for pair potentials — same-color movers can't interact; s=3 for
+    EAM — same-color movers 2w >= 2rc apart have DISJOINT neighborhoods,
+    so the density-coupled acceptance stays exact in parallel). Each axis
+    count divisible by s so colors tile periodically."""
+    ncell: tuple            # (nx, ny, nz), each divisible by stride
     kcap: int               # slots per cell (multiple of 8 and of nsub)
     nsub: int               # J: movers per cell per color step
     natoms: int
+    stride: int = 2
+
+    @property
+    def ncolors(self) -> int:
+        return self.stride ** 3
 
     @property
     def ncells(self) -> int:
         return int(np.prod(self.ncell))
 
     @property
-    def half(self) -> tuple:
-        return tuple(n // 2 for n in self.ncell)
+    def half(self) -> tuple:             # within-color grid (historical name)
+        return tuple(n // self.stride for n in self.ncell)
 
     @property
     def cw(self) -> int:                 # cells per color
-        return self.ncells // 8
+        return self.ncells // self.ncolors
 
     @property
     def rows(self) -> int:
@@ -95,20 +103,22 @@ class CellGeom:
 
 
 def make_geom(box0, rc: float, natoms: int, nsub: int = 8,
-              shrink_margin: float = 0.05, kcap: int = 0) -> CellGeom:
+              shrink_margin: float = 0.05, kcap: int = 0,
+              stride: int = 2) -> CellGeom:
     """Pick the cell grid for initial box ``box0``: per axis the largest
-    EVEN cell count with width >= rc/(1-shrink_margin) (margin budgets NPT
-    box shrink within a chunk; validated per sweep by the engine)."""
+    stride-divisible cell count with width >= rc/(1-shrink_margin)
+    (margin budgets NPT box shrink within a chunk; validated per sweep by
+    the engine)."""
     box0 = np.asarray(box0, np.float64)
     wmin = float(rc) / (1.0 - shrink_margin)
     ncell = []
     for b in box0:
         n = int(np.floor(b / wmin))
-        n = max(2, (n // 2) * 2)
+        n = max(stride, (n // stride) * stride)
         if b / n < wmin:
             raise ValueError(
                 f"box {box0} too small for cell MC at rc={rc} "
-                f"(need >= {2 * wmin} per axis)")
+                f"(need >= {stride * wmin} per axis)")
         ncell.append(n)
     ncell = tuple(ncell)
     if kcap <= 0:
@@ -119,30 +129,33 @@ def make_geom(box0, rc: float, natoms: int, nsub: int = 8,
     kcap = max(kcap, nsub)
     kcap = -(-kcap // nsub) * nsub            # divisible by J
     kcap = -(-kcap // 8) * 8                  # sublane-tile friendly
-    return CellGeom(ncell=ncell, kcap=kcap, nsub=nsub, natoms=natoms)
+    return CellGeom(ncell=ncell, kcap=kcap, nsub=nsub, natoms=natoms,
+                    stride=stride)
 
 
 def geom_tables(geom: CellGeom):
     """Static per-row full-cell coordinates (3, C*K) int32 — passed as jit
     arguments, never baked into traced code (docs/tpu_notes.md §1)."""
-    nx, ny, nz = geom.ncell
+    s = geom.stride
     hx, hy, hz = geom.half
     k = geom.kcap
     rows = np.arange(geom.rows)
     cell = rows // k
     color = cell // geom.cw
     w = cell % geom.cw
-    sx, sy, sz = color // 4, (color // 2) % 2, color % 2
+    sx, sy, sz = color // (s * s), (color // s) % s, color % s
     vx, vy, vz = w // (hy * hz), (w // hz) % hy, w % hz
-    return np.stack([2 * vx + sx, 2 * vy + sy, 2 * vz + sz]).astype(np.int32)
+    return np.stack([s * vx + sx, s * vy + sy,
+                     s * vz + sz]).astype(np.int32)
 
 
 def _scid(geom: CellGeom, c3):
     """Color-major slab cell index from full-cell coords (..., 3)."""
+    s = geom.stride
     hx, hy, hz = geom.half
     cx, cy, cz = c3[..., 0], c3[..., 1], c3[..., 2]
-    color = ((cx % 2) * 2 + (cy % 2)) * 2 + (cz % 2)
-    w = ((cx // 2) * hy + (cy // 2)) * hz + (cz // 2)
+    color = ((cx % s) * s + (cy % s)) * s + (cz % s)
+    w = ((cx // s) * hy + (cy // s)) * hz + (cz // s)
     return color * geom.cw + w
 
 
@@ -199,9 +212,10 @@ def unbin(geom: CellGeom, slabs, box, shift):
 
 
 def _cellgrid(geom: CellGeom, arr):
-    """(..., C, K) -> (..., 2,2,2, hx,hy,hz, K) color-major view."""
+    """(..., C, K) -> (..., s,s,s, hx,hy,hz, K) color-major view."""
+    s = geom.stride
     hx, hy, hz = geom.half
-    return arr.reshape(arr.shape[:-2] + (2, 2, 2, hx, hy, hz, geom.kcap))
+    return arr.reshape(arr.shape[:-2] + (s, s, s, hx, hy, hz, geom.kcap))
 
 
 def _shift_cells_up(geom: CellGeom, arr, axis: int):
@@ -209,18 +223,20 @@ def _shift_cells_up(geom: CellGeom, arr, axis: int):
     for rebinning. arr (..., C, K); pure reshape/roll/concat — no gathers.
     """
     g = _cellgrid(geom, arr)
+    s = geom.stride
     sa = g.ndim - 7 + axis      # sigma_axis index in the 8D view
     va = g.ndim - 4 + axis      # v_axis index
-    lo = jax.lax.index_in_dim(g, 0, axis=sa, keepdims=True)   # sigma_a = 0
-    hi = jax.lax.index_in_dim(g, 1, axis=sa, keepdims=True)   # sigma_a = 1
-    # c-1 of (sigma=1, v) is (sigma=0, v); c-1 of (sigma=0, v) is
-    # (sigma=1, v-1): roll the high block down by one v step.
-    out = jnp.concatenate([jnp.roll(hi, 1, axis=va), lo], axis=sa)
+    # c-1 of (sigma=j>0, v) is (sigma=j-1, v); c-1 of (sigma=0, v) is
+    # (sigma=s-1, v-1): roll the top color down by one v step.
+    parts = [jax.lax.index_in_dim(g, j, axis=sa, keepdims=True)
+             for j in range(s)]
+    out = jnp.concatenate([jnp.roll(parts[s - 1], 1, axis=va)]
+                          + parts[:s - 1], axis=sa)
     return out.reshape(arr.shape)
 
 
 def rebin_axis(geom: CellGeom, slabs, count, box, delta_frac, axis: int,
-               cell_tab=None):
+               cell_tab=None, extras=()):
     """Advance the grid shift by ``delta_frac`` (< 1/ncell[axis]) along one
     axis: every atom stays in its cell or moves to the cell BELOW (its cell
     index grows by one as the grid slides). Batched (R, C*K) slabs ->
@@ -259,12 +275,18 @@ def rebin_axis(geom: CellGeom, slabs, count, box, delta_frac, axis: int,
     by = blocks(slabs2[1], INVALID)
     bz = blocks(slabs2[2], INVALID)
     bi = blocks(ids, -1)
+    bex = [blocks(e, 0.0) for e in extras]   # e.g. the EAM density slab
     keyf = jnp.where(bi >= 0, 0.0, 1.0)
-    _, sx, sy, sz, si = jax.lax.sort((keyf, bx, by, bz, bi),
-                                     num_keys=1, dimension=2)
+    sorted_ops = jax.lax.sort((keyf, bx, by, bz, bi) + tuple(bex),
+                              num_keys=1, dimension=2)
+    sx, sy, sz, si = sorted_ops[1:5]
+    sex = sorted_ops[5:]
     nvalid = jnp.sum((bi >= 0).astype(jnp.int32), axis=-1)   # (R, C)
     overflow = jnp.any(nvalid > k)
     out = tuple(a[..., :k].reshape(r, c * k) for a in (sx, sy, sz, si))
+    oex = tuple(a[..., :k].reshape(r, c * k) for a in sex)
+    if extras:
+        return out, jnp.minimum(nvalid, k), overflow, oex
     return out, jnp.minimum(nvalid, k), overflow
 
 
@@ -330,6 +352,7 @@ def _offsets13():
 
 def _block_utils(geom: CellGeom, rt: int):
     """In-kernel helpers shared by the sweep and total-energy kernels."""
+    s = geom.stride
     hx, hy, hz = geom.half
     k = geom.kcap
     blk = geom.cw * k
@@ -342,47 +365,61 @@ def _block_utils(geom: CellGeom, rt: int):
     def roll0(b, shift):
         """Static sublane roll; skips identity (a full-size roll would
         lower to a zero-length slice, which Mosaic rejects)."""
-        s = shift % b.shape[0]
-        return b if s == 0 else jnp.roll(b, s, axis=0)
+        sh = shift % b.shape[0]
+        return b if sh == 0 else jnp.roll(b, sh, axis=0)
 
-    def aligned_block(ref, coord_axis, sbits, off, axis_l):
+    def neighbor_color(sbits, off):
+        """Traced color index of the block at cell offset ``off``."""
+        cp = 0
+        for a in range(3):
+            sa = sbits[a] + off[a]
+            sa = jnp.where(sa < 0, sa + s, jnp.where(sa >= s, sa - s, sa))
+            cp = cp * s + sa
+        return cp
+
+    def align_value(b, coord_axis, sbits, off, axis_l,
+                    reverse: bool = False):
         """Neighbor color block aligned to the active color's w-grid.
 
-        The active color is TRACED (sbits = per-axis color bits): for each
-        offset axis with d_a != 0 the w-grid carry is +-1 exactly when the
-        active bit matches the step direction, so the carry-aligned
+        The active color is TRACED (sbits = per-axis color trits in
+        [0, stride)): for each offset axis with d_a != 0 the w-grid carry
+        is +-1 exactly when the active trit steps past the color range
+        (d>0 and trit==stride-1, or d<0 and trit==0), so the carry-aligned
         variant is computed with STATIC rolls and selected by the traced
-        bit. Row alignment is coordinate-independent; the periodic +-L
-        image correction applies only to the coordinate of the axis that
-        wrapped (coord_axis).
+        condition. Row alignment is coordinate-independent; the periodic
+        +-L image correction applies only to the coordinate of the axis
+        that wrapped (coord_axis; pass coord_axis=None for non-coordinate
+        per-slot data like densities).
+
+        ``reverse=True`` applies the INVERSE row alignment (color index
+        still computed from the forward offset): use it to push per-
+        candidate results (e.g. EAM density increments) back into the
+        neighbor block's own row order.
         """
         dvec = off
-        mcode = (abs(dvec[0]) * 2 + abs(dvec[1])) * 2 + abs(dvec[2])
-        color = (sbits[0] * 2 + sbits[1]) * 2 + sbits[2]
-        cprime = color ^ mcode
-        b = ref[pl.ds(cprime * blk, blk)]               # (blk, rt)
         rows = row_iota((blk, 1), 0)
         for a in range(3):
             da = dvec[a]
             if da == 0:
                 continue
-            # carry is active iff stepping past this axis' color pair
-            active = (sbits[a] == (1 if da > 0 else 0)).reshape(1, 1)
+            # carry is active iff stepping past this axis' color range
+            active = (sbits[a] == (s - 1 if da > 0 else 0)).reshape(1, 1)
+            ra = -da if reverse else da      # roll direction
             va = (rows // strides[a]) % half[a]
-            edge = (half[a] - 1) if da > 0 else 0
+            edge = (half[a] - 1) if ra > 0 else 0
             if half[a] == 1:
                 rolled = b        # single w-cell: identity alignment
             elif a == 0:
                 # outermost axis: flat roll wraps exactly
-                rolled = roll0(b, -da * strides[a])
+                rolled = roll0(b, -ra * strides[a])
             else:
                 # jnp.roll(b, s): out[i] = in[i - s]. Main rows read
-                # in[i + da*stride]; wrap rows (edge of the w-grid)
-                # read the opposite end: in[i - da*(half-1)*stride].
-                main = roll0(b, -da * strides[a])
-                wrap = roll0(b, da * (half[a] - 1) * strides[a])
+                # in[i + ra*stride]; wrap rows (edge of the w-grid)
+                # read the opposite end: in[i - ra*(half-1)*stride].
+                main = roll0(b, -ra * strides[a])
+                wrap = roll0(b, ra * (half[a] - 1) * strides[a])
                 rolled = jnp.where(va == edge, wrap, main)
-            if a == coord_axis:
+            if coord_axis is not None and a == coord_axis:
                 # rows whose source cell wrapped around the box read
                 # the periodic image: high wrap -> +L, low wrap -> -L
                 rolled = rolled + jnp.where(
@@ -390,7 +427,15 @@ def _block_utils(geom: CellGeom, rt: int):
             b = jnp.where(active, rolled, b)
         return b
 
-    return row_iota, roll0, aligned_block
+    def aligned_block(ref, coord_axis, sbits, off, axis_l,
+                      reverse: bool = False):
+        """Read the neighbor color block of ``off`` and align it."""
+        cprime = neighbor_color(sbits, off)
+        b = ref[pl.ds(cprime * blk, blk)]               # (blk, rt)
+        return align_value(b, coord_axis, sbits, off, axis_l,
+                           reverse=reverse)
+
+    return row_iota, roll0, aligned_block, align_value, neighbor_color
 
 
 def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
@@ -415,10 +460,13 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
     cw = geom.cw
     j = geom.nsub
     g = geom.group
+    stride = geom.stride
+    ncolors = geom.ncolors
     blk = cw * k               # rows per color block
     strides = (hy * hz * k, hz * k, k)   # w-grid row strides per axis
     half = (hx, hy, hz)
-    row_iota, roll0, aligned_block = _block_utils(geom, rt)
+    row_iota, roll0, aligned_block, align_value, neighbor_color = \
+        _block_utils(geom, rt)
 
     def kernel(seed_ref, pot_ref, params_ref, count_ref,
                x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref, st_ref):
@@ -455,8 +503,9 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             return 4.0 * jnp.sum(e, axis=-2)
 
         def color_step(step):
-            color = jax.lax.rem(step, 8)
-            sbits = (color // 4, (color // 2) % 2, color % 2)
+            color = jax.lax.rem(step, ncolors)
+            sbits = (color // (stride * stride), (color // stride) % stride,
+                     color % stride)
             base = color * blk
             ctr = step * 8
             cnt = count_ref[pl.ds(color * cw, cw)]           # (cw, rt)
@@ -513,7 +562,8 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             # full-cell coords of each cell row: 2*v + traced color bit
             crow = row_iota((cw, 1), 0)
             vxyz = [(crow // (strides[a] // k)) % half[a] for a in range(3)]
-            cfull = [2 * vxyz[a] + sbits[a] for a in range(3)]  # (cw, 1)
+            cfull = [stride * vxyz[a] + sbits[a]
+                     for a in range(3)]                         # (cw, 1)
 
             for jj in range(j):
                 cx = ox_ref[pl.ds(base, blk)].reshape(cw, k, rt)
@@ -560,7 +610,7 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             color_step(s)
             return 0
 
-        jax.lax.fori_loop(0, ncyc * 8, step_body, 0, unroll=False)
+        jax.lax.fori_loop(0, ncyc * ncolors, step_body, 0, unroll=False)
 
     def sweep(slabs, count, params, pot3, seeds):
         x, y, z = slabs
@@ -620,9 +670,12 @@ def make_total_fn(geom: CellGeom, interpret: bool = False, rt: int = RT):
     """
     k = geom.kcap
     cw = geom.cw
+    stride = geom.stride
+    ncolors = geom.ncolors
     blk = cw * k
     mch = 8                           # mover slots per chunk
-    row_iota, roll0, aligned_block = _block_utils(geom, rt)
+    row_iota, roll0, aligned_block, align_value, neighbor_color = \
+        _block_utils(geom, rt)
 
     def kernel(pot_ref, params_ref, scale_ref, x_ref, y_ref, z_ref, st_ref):
         sig2 = pot_ref[1] * pot_ref[1]
@@ -665,7 +718,8 @@ def make_total_fn(geom: CellGeom, interpret: bool = False, rt: int = RT):
                 jnp.where(ms, q6, 0.0))
 
         def color_step(color, _):
-            sbits = (color // 4, (color // 2) % 2, color % 2)
+            sbits = (color // (stride * stride), (color // stride) % stride,
+                     color % stride)
             base = color * blk
             bx = x_ref[pl.ds(base, blk)].reshape(cw, k, rt)
             by = y_ref[pl.ds(base, blk)].reshape(cw, k, rt)
@@ -691,7 +745,7 @@ def make_total_fn(geom: CellGeom, interpret: bool = False, rt: int = RT):
                     accum(mov, cnd, None, 1.0)
             return 0
 
-        jax.lax.fori_loop(0, 8, color_step, 0, unroll=False)
+        jax.lax.fori_loop(0, ncolors, color_step, 0, unroll=False)
 
     def total(slabs, params, pot3, scale):
         x, y, z = slabs

@@ -105,9 +105,13 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
 
     if stride <= 0:
         stride = 4 if style == "pair" else 2
-    rng = eam_mod.interaction_range(pot)
-    cellcfg = cells_ops.make_cell_config(box, rng, stride=stride,
-                                         dpos_cap=0.25)
+    cellcfg = None
+    if engine != "cellmc":
+        # legacy checkerboard cell table (gather/dense engines only; the
+        # cellmc engine builds its own stride-2/3 slab geometry below)
+        rng = eam_mod.interaction_range(pot)
+        cellcfg = cells_ops.make_cell_config(box, rng, stride=stride,
+                                             dpos_cap=0.25)
     cap = cfg.max_neighbors if cfg.max_neighbors > 0 else None
     nls = aux = None
     if engine != "cellmc":
@@ -129,20 +133,34 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
         gcap = GH.suggest_gcap(n, box, shell)
         gms = DS.build_ensemble_ghosts(states, shell, gcap)
     elif engine == "cellmc":
-        if style != "pair":
-            raise ValueError("cellmc engine supports pair potentials only")
-        geom = CMK.make_geom(box, pot.rc_host, n)
         shift = jnp.zeros((3,), jnp.float32)
-        slabs, slab_count, over = SC.build_slabs(geom, states, shift)
+        if style == "pair":
+            geom = CMK.make_geom(box, pot.rc_host, n)
+            slabs, slab_count, over = SC.build_slabs(geom, states, shift)
+            cell_tabs = jnp.asarray(CMK.geom_tables(geom))
+            states = SC.refresh_energies(geom, states, slabs, pot)
+        else:
+            # EAM: Chebyshev form + stride-3 cells (2w >= 2rc for exact
+            # parallel acceptance of the density-coupled moves)
+            from neuralmelting_tpu.models import eam_cheb as ECH
+            cheb = ECH.from_spline(pot)
+            geom = CMK.make_geom(box, cheb.rc_host, n, nsub=1, stride=3)
+            slabs, slab_count, over = SC.build_slabs(geom, states, shift)
+            scal, series, nser = SC.eam_pack(cheb)
+            states, rho = SC.eam_initial_rho(geom, states, slabs, scal,
+                                             series, nser)
+            slabs = slabs + (rho,)
+            pot = cheb                    # the sampled potential
+            cell_tabs = jnp.asarray(CMK.geom_tables(geom))
         if bool(over):
             raise RuntimeError("cell slot capacity overflow at setup; "
                                "raise kcap")
-        cell_tabs = jnp.asarray(CMK.geom_tables(geom))
-        states = SC.refresh_energies(geom, states, slabs, pot)
     return RunSetup(cfg=cfg, pot=pot, style=style, us=us, mass=el.mass,
                     press=press, temp=temp, t_grid=t_grid, p_grid=p_grid,
                     states=states, nls=nls, aux=aux, cap=cap,
-                    cellcfg=cellcfg, table=jnp.asarray(cellcfg.active_table),
+                    cellcfg=cellcfg,
+                    table=(jnp.asarray(cellcfg.active_table)
+                           if cellcfg is not None else None),
                     slot_of=jnp.arange(r, dtype=jnp.int32), natoms=n,
                     engine=engine, gms=gms, shell=shell, gcap=gcap,
                     geom=geom, slabs=slabs, slab_count=slab_count,
@@ -181,7 +199,14 @@ def restore_setup(setup: RunSetup, checkpoint_path: str) -> RunSetup:
     if setup.engine == "cellmc":
         shift = jnp.zeros((3,), jnp.float32)
         slabs, slab_count, _ = SC.build_slabs(setup.geom, states, shift)
-        states = SC.refresh_energies(setup.geom, states, slabs, setup.pot)
+        if setup.style == "eam":
+            scal, series, nser = SC.eam_pack(setup.pot)
+            states, rho = SC.eam_initial_rho(setup.geom, states, slabs,
+                                             scal, series, nser)
+            slabs = slabs + (rho,)
+        else:
+            states = SC.refresh_energies(setup.geom, states, slabs,
+                                         setup.pot)
         extra = dict(slabs=slabs, slab_count=slab_count, shift=shift)
     return dataclasses.replace(setup, states=states, slot_of=slot_of,
                                nls=nls, aux=aux, gms=gms, **extra)
@@ -210,7 +235,28 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
 
     import time as _time
     _t0 = _time.time()
-    if setup.engine == "cellmc":
+    if setup.engine == "cellmc" and setup.style == "eam":
+        from neuralmelting_tpu.models import eam_cheb as ECH
+        cheb = setup.pot
+        scal, series, nser = SC.eam_pack(cheb)
+        run = SC.make_eam_run_fn(
+            setup.us.kb, setup.us.p2e, setup.geom, nser, mod=cfg.mod,
+            nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
+            nvol=nvol, factor=cfg.adapt_factor,
+            targets=(cfg.acc_target_pos, cfg.acc_target_vol,
+                     cfg.acc_target_hmc),
+            exchange=True, npress=npress, ntemp=ntemp,
+            write_traj=write_traj)
+        out = run(setup.states, setup.slabs, setup.slab_count, setup.shift,
+                  setup.slot_of, jax.random.key(cfg.seed + 1), scal,
+                  series, setup.cell_tabs, setup.t_grid, setup.p_grid,
+                  jnp.asarray([cfg.seed, cfg.seed + 7], jnp.int32))
+        (states, slabs, slab_count, shift, slot_of, recs, frames,
+         hist, xacc, diag) = out
+        nls, aux = setup.nls, setup.aux
+        setup = dataclasses.replace(setup, slabs=slabs,
+                                    slab_count=slab_count, shift=shift)
+    elif setup.engine == "cellmc":
         run = SC.make_cellmc_run_fn(
             setup.us.kb, setup.us.p2e, setup.geom, mod=cfg.mod,
             nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),

@@ -305,3 +305,218 @@ def refresh_energies(geom, states, slabs, pot, rt: int = 0,
                  jnp.ones((1, r), jnp.float32))
     e, w, _ = CM.combine_sums(sums, pot.eps, jnp.ones((r,), jnp.float32))
     return states.replace(pe=e, virial=w)
+
+
+# ---------------------------------------------------------------------------
+# EAM engine (stride-3 cells, density slab, Chebyshev potential)
+# ---------------------------------------------------------------------------
+
+def eam_pack(cheb):
+    """Kernel transport for an EAMCheb: (scal (8,), series6, nser)."""
+    scal = jnp.stack([cheb.rc * cheb.rc, cheb.u_lo, cheb.u_hi, cheb.q_lo,
+                      jnp.sqrt(cheb.rho_hi), cheb.rho_hi,
+                      0.0 * cheb.rc, 0.0 * cheb.rc])
+    series = (cheb.c_phi, cheb.c_phid, cheb.c_rho, cheb.c_rhod,
+              cheb.c_f, cheb.c_fd)
+    nser = (cheb.c_phi.shape[0], cheb.c_rho.shape[0], cheb.c_f.shape[0])
+    return scal, series, nser
+
+
+def make_eam_run_fn(kb, p2e, geom, nser, mod: int, nrecords: int,
+                    ncyc: int = 8, nvol: int = 1,
+                    targets=(0.5, 0.5, 0.5), factor: float = 1.0625,
+                    write_traj: bool = False, exchange: bool = False,
+                    npress: int = 0, ntemp: int = 0, rt: int = 0,
+                    interpret=None, adapt: bool = True, jit: bool = True):
+    """EAM twin of make_cellmc_run_fn (see its docstring): slabs carry a
+    per-slot density cache; volume trials cost one full EAM energy pass
+    at the proposed scale (no homogeneous-scaling shortcut); records
+    refresh pe/virial AND the density cache from scratch.
+
+    Signature (exchange=True):
+      ``run(states, slabs5, count, shift, slot_of, xkey, scal, series6,
+        cell_tabs, t_grid, p_grid, seed0)`` with slabs5 =
+      (x, y, z, ids, rho) leading-R.
+    """
+    from neuralmelting_tpu.ops.pallas import cellmc_eam as CE
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nxf, nyf, nzf = (float(n) for n in geom.ncell)
+    deltas = [0.9 / n for n in geom.ncell]
+
+    def get_kernels(r):
+        rtt = rt or pick_rt(r)
+        return (CE.make_eam_sweep_fn(geom, ncyc=ncyc, nser=nser,
+                                     interpret=interpret, rt=rtt),
+                CE.make_eam_total_fn(geom, nser, with_virial=True,
+                                     interpret=interpret, rt=rtt),
+                CE.make_eam_total_fn(geom, nser, with_virial=False,
+                                     interpret=interpret, rt=rtt),
+                r // rtt)
+
+    def params_of(states):
+        wvec = jnp.stack([states.box[:, 0] / nxf, states.box[:, 1] / nyf,
+                          states.box[:, 2] / nzf], axis=1)
+        wmin = jnp.min(wvec, axis=-1)
+        dpos_eff = jnp.minimum(states.dpos, 0.45 * wmin)
+        return jnp.stack([
+            1.0 / (kb * states.temp), dpos_eff,
+            wvec[:, 0], wvec[:, 1], wvec[:, 2],
+            states.box[:, 0], states.box[:, 1], states.box[:, 2]])
+
+    def sweep_step(carry, scal, series, cell_tabs, seed0, kernels):
+        sweep_k, total_w, total_e, ntiles = kernels
+        states, slabs, count, shift, key, diag = carry
+        x, y, z, ids, rho = slabs
+        r = x.shape[0]
+
+        wmin = jnp.min(jnp.stack([states.box[:, 0] / nxf,
+                                  states.box[:, 1] / nyf,
+                                  states.box[:, 2] / nzf]))
+        # geometry validity: cells must cover rc (scal[0] = rc^2)
+        diag = diag | jnp.where(wmin * wmin < scal[0], DIAG_CB_INVALID,
+                                0).astype(jnp.int32)
+
+        sweep_id = states.sweep[0]
+        seeds = jnp.stack([
+            seed0[0] + sweep_id * np.int32(ntiles)
+            + jnp.arange(ntiles, dtype=jnp.int32),
+            jnp.broadcast_to(seed0[1], (ntiles,))], axis=1)
+        params = params_of(states)
+        (xt, yt, zt, rt_), st = sweep_k(
+            (x.T, y.T, z.T, rho.T), count.T, params, scal,
+            (series[0], series[2], series[4]), seeds)
+        x, y, z, rho = xt.T, yt.T, zt.T, rt_.T
+        states = states.replace(
+            pe=states.pe + st[0],
+            nap=states.nap + st[1].astype(jnp.int32),
+            ntp=states.ntp + st[2].astype(jnp.int32))
+
+        key, kvol, kreb = jax.random.split(key, 3)
+        for v in range(nvol):
+            kv = jax.random.fold_in(kvol, v)
+            ku, ka = jax.random.split(kv)
+            u = jax.random.uniform(ku, (r,), jnp.float32)
+            vol = jnp.prod(states.box, axis=-1)
+            dv = states.dvol * (2.0 * u - 1.0)
+            ok = (vol + dv) > 0.0
+            s = jnp.where(ok, jnp.cbrt(jnp.maximum(vol + dv, 1e-6) / vol),
+                          1.0)
+            stt, rho_s = total_e((x.T, y.T, z.T), params, scal, series,
+                                 s[None, :])
+            e_new = stt[0]
+            beta = 1.0 / (kb * states.temp)
+            n = geom.natoms
+            ln_acc = (-beta * ((e_new - states.pe) + states.press * p2e * dv)
+                      + n * jnp.log(jnp.where(ok, (vol + dv) / vol, 1.0)))
+            ln_u = jnp.log(jax.random.uniform(ka, (r,), jnp.float32,
+                                              1e-38, 1.0))
+            acc = ok & (ln_u < ln_acc)
+            sca = jnp.where(acc, s, 1.0)[:, None]
+            x = jnp.where(x < 0.1 * CM.INVALID, x * sca, x)
+            y = jnp.where(y < 0.1 * CM.INVALID, y * sca, y)
+            z = jnp.where(z < 0.1 * CM.INVALID, z * sca, z)
+            rho = jnp.where(acc[:, None], rho_s.T, rho)
+            states = states.replace(
+                box=states.box * sca,
+                pe=jnp.where(acc, e_new, states.pe),
+                nav=states.nav + acc.astype(jnp.int32),
+                ntv=states.ntv + 1)
+
+        axis_t = jax.lax.rem(states.sweep[0], 3)
+        du = jax.random.uniform(kreb, (), jnp.float32)
+
+        def do_axis(a):
+            def f():
+                delta = du * deltas[a]
+                slabs2, count2, over, (rho2,) = CM.rebin_axis(
+                    geom, (x, y, z, ids), count, states.box, delta, a,
+                    cell_tab=cell_tabs[a], extras=(rho,))
+                return slabs2, rho2, count2, over, shift.at[a].add(delta)
+            return f
+
+        (x, y, z, ids), rho, count, over, shift = jax.lax.switch(
+            axis_t, [do_axis(0), do_axis(1), do_axis(2)])
+        diag = diag | jnp.where(over, DIAG_SLAB_OVERFLOW,
+                                0).astype(jnp.int32)
+        states = states.replace(sweep=states.sweep + 1)
+        return (states, (x, y, z, ids, rho), count, shift, key, diag)
+
+    def block_core(carry, scal, series, cell_tabs, seed0, kernels):
+        carry, _ = jax.lax.scan(
+            lambda c, _: (sweep_step(c, scal, series, cell_tabs, seed0,
+                                     kernels), None),
+            carry, None, length=mod)
+        states, slabs, count, shift, key, diag = carry
+        x, y, z, ids, rho = slabs
+        r = states.temp.shape[0]
+        params = params_of(states)
+        stt, rho_f = kernels[1]((x.T, y.T, z.T), params, scal, series,
+                                jnp.ones((1, r), jnp.float32))
+        rho = rho_f.T
+        pos = jax.vmap(lambda sx, sy, sz, si, b: CM.unbin(
+            geom, (sx, sy, sz, si), b, shift))(x, y, z, ids, states.box)
+        states = states.replace(pe=stt[0], virial=stt[1], pos=pos)
+        rec = jax.vmap(lambda s_: make_record(s_, kb))(states)
+        if adapt:
+            states = jax.vmap(
+                lambda s_: adapt_step_sizes(s_, targets=targets,
+                                            factor=factor))(states)
+        frame = (states.pos, states.box) if write_traj else ()
+        return (states, (x, y, z, ids, rho), count, shift, key, diag),             rec, frame
+
+    assert exchange and npress * ntemp > 0, "EAM engine: exchange runner"
+
+    def run_x(states, slabs5, count, shift, slot_of, xkey, scal, series,
+              cell_tabs, t_grid, p_grid, seed0):
+        kernels = get_kernels(states.temp.shape[0])
+        key0 = jax.random.fold_in(jax.random.key(2), seed0[0])
+
+        def record_block_x(carry, event_idx):
+            (states, slabs, count, shift, key, slot_of, diag) = carry
+            inner = (states, slabs, count, shift, key, diag)
+            inner, rec, frame = block_core(inner, scal, series, cell_tabs,
+                                           seed0, kernels)
+            states, slabs, count, shift, key, diag = inner
+            slots_at_record = slot_of
+            ekey = jax.random.fold_in(jax.random.fold_in(xkey, event_idx),
+                                      states.sweep[0])
+            states, slot_of, n_acc = tempering.exchange_event(
+                states, slot_of, ekey, event_idx, npress, ntemp,
+                t_grid, p_grid, kb, p2e)
+            return (states, slabs, count, shift, key, slot_of, diag),                 (rec, frame, slots_at_record, n_acc)
+
+        diag0 = jnp.zeros((), jnp.int32)
+        carry = (states, slabs5, count, shift, key0, slot_of, diag0)
+        carry, (recs, frames, hist, xacc) = jax.lax.scan(
+            record_block_x, carry, jnp.arange(nrecords), length=nrecords)
+        states, slabs, count, shift, _, slot_of, diag = carry
+        return (states, slabs, count, shift, slot_of, recs,
+                (frames if write_traj else None), hist, xacc, diag)
+
+    return jax.jit(run_x, donate_argnums=(0, 1, 2)) if jit else run_x
+
+
+def eam_initial_rho(geom, states, slabs, scal, series, nser, rt: int = 0,
+                    interpret=None):
+    """Density slab + exact pe/virial for a fresh EAM ensemble."""
+    from neuralmelting_tpu.ops.pallas import cellmc_eam as CE
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    r = states.temp.shape[0]
+    rtt = rt or pick_rt(r)
+    total = CE.make_eam_total_fn(geom, nser, with_virial=True,
+                                 interpret=interpret, rt=rtt)
+    nxf, nyf, nzf = (float(n) for n in geom.ncell)
+    wvec = jnp.stack([states.box[:, 0] / nxf, states.box[:, 1] / nyf,
+                      states.box[:, 2] / nzf], axis=1)
+    params = jnp.stack([
+        jnp.ones((r,), jnp.float32), jnp.ones((r,), jnp.float32),
+        wvec[:, 0], wvec[:, 1], wvec[:, 2],
+        states.box[:, 0], states.box[:, 1], states.box[:, 2]])
+    x, y, z, ids = slabs
+    stt, rho = total((x.T, y.T, z.T), params, scal, series,
+                     jnp.ones((1, r), jnp.float32))
+    return states.replace(pe=stt[0], virial=stt[1]), rho.T
