@@ -206,19 +206,28 @@ def make_eam_sweep_fn(geom: CellGeom, ncyc: int, nser: tuple,
                 un = u_of(mn)
                 mo = candv & (uo < rc2)
                 mn_ = candv & (un < rc2)
-                fo = jnp.where(mo, frho(uo), 0.0)
-                fn = jnp.where(mn_, frho(un), 0.0)
+                # one Clenshaw per series over [old; new] stacked: the
+                # recurrence is a latency-bound sequential loop, so
+                # halving instance count ~halves the kernel's critical
+                # path (docs/tpu_notes.md §5)
+                uon = jnp.concatenate([uo, un], axis=0)
+                f_on = frho(uon)
+                p_on = phi(uon)
+                fo = jnp.where(mo, f_on[:cw], 0.0)
+                fn = jnp.where(mn_, f_on[cw:], 0.0)
                 de_pair = de_pair + jnp.sum(
-                    jnp.where(mn_, phi(un), 0.0)
-                    - jnp.where(mo, phi(uo), 0.0), axis=1)
+                    jnp.where(mn_, p_on[cw:], 0.0)
+                    - jnp.where(mo, p_on[:cw], 0.0), axis=1)
                 drho_c = fn - fo                              # (cw, k, rt)
                 drho_blocks.append(drho_c)
                 drho_m = drho_m + jnp.sum(drho_c, axis=1)
-                de_emb = de_emb + jnp.sum(
-                    femb(rho_c + drho_c) - femb(rho_c), axis=1)
+                f_rr = femb(jnp.concatenate([rho_c + drho_c, rho_c],
+                                            axis=0))
+                de_emb = de_emb + jnp.sum(f_rr[:cw] - f_rr[cw:], axis=1)
 
-            de = (de_pair + de_emb
-                  + femb(rho_m + drho_m) - femb(rho_m))       # (cw, rt)
+            f_mm = femb(jnp.concatenate([rho_m + drho_m, rho_m],
+                                         axis=0))
+            de = de_pair + de_emb + f_mm[:cw] - f_mm[cw:]     # (cw, rt)
 
             crow = row_iota((cw, 1), 0)
             strides_w = (geom.half[1] * geom.half[2], geom.half[2], 1)
@@ -351,9 +360,10 @@ def make_eam_total_fn(geom: CellGeom, nser: tuple, with_virial: bool,
         kio3 = row_iota((cw, 1, k, 1), 2)
 
         # ---- phase 1: densities + pair energy/virial ----------------
-        # mover slots processed in chunks of mch=8: full K x K blocks
-        # neither fit VMEM nor pass Mosaic relayout at narrow lane tiles
-        mch = 8
+        # mover slots processed in chunks of mch=16: full K x K blocks
+        # neither fit VMEM nor pass Mosaic relayout at narrow lane tiles;
+        # wider chunks mean fewer latency-bound Clenshaw instances
+        mch = 16
         kio_c = row_iota((cw, mch, 1, 1), 1)
         kio_k = row_iota((cw, 1, k, 1), 2)
 

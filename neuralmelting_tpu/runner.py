@@ -218,6 +218,22 @@ def nvol_per_sweep(cfg: RunConfig, natoms: int) -> int:
     return max(1, min(4, int(round(cfg.pvol * natoms / 32))))
 
 
+
+# Chained chunks MUST reuse the same jitted run fn: rebuilding it per
+# run_sampling call makes every chunk re-trace and re-compile (measured
+# ~500 s/chunk through this environment's compile relay even with the
+# persistent cache warm). Keyed on everything that shapes the program.
+_RUN_FN_CACHE: dict = {}
+
+
+def _cached_run_fn(key, build):
+    fn = _RUN_FN_CACHE.get(key)
+    if fn is None:
+        fn = build()
+        _RUN_FN_CACHE[key] = fn
+    return fn
+
+
 def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                  write_files: bool = True, checkpoint_path: Optional[str] = None,
                  nrecords: Optional[int] = None, write_traj: bool = True,
@@ -239,14 +255,17 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
         from neuralmelting_tpu.models import eam_cheb as ECH
         cheb = setup.pot
         scal, series, nser = SC.eam_pack(cheb)
-        run = SC.make_eam_run_fn(
+        key = ("eam", setup.geom, nser, cfg.mod, nrecords, nvol,
+               cfg.adapt_factor, npress, ntemp, write_traj,
+               cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
+        run = _cached_run_fn(key, lambda: SC.make_eam_run_fn(
             setup.us.kb, setup.us.p2e, setup.geom, nser, mod=cfg.mod,
             nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
             nvol=nvol, factor=cfg.adapt_factor,
             targets=(cfg.acc_target_pos, cfg.acc_target_vol,
                      cfg.acc_target_hmc),
             exchange=True, npress=npress, ntemp=ntemp,
-            write_traj=write_traj)
+            write_traj=write_traj))
         out = run(setup.states, setup.slabs, setup.slab_count, setup.shift,
                   setup.slot_of, jax.random.key(cfg.seed + 1), scal,
                   series, setup.cell_tabs, setup.t_grid, setup.p_grid,
@@ -257,14 +276,17 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
         setup = dataclasses.replace(setup, slabs=slabs,
                                     slab_count=slab_count, shift=shift)
     elif setup.engine == "cellmc":
-        run = SC.make_cellmc_run_fn(
+        key = ("cellmc", setup.geom, cfg.mod, nrecords, nvol,
+               cfg.adapt_factor, npress, ntemp, write_traj,
+               cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
+        run = _cached_run_fn(key, lambda: SC.make_cellmc_run_fn(
             setup.us.kb, setup.us.p2e, setup.geom, mod=cfg.mod,
             nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
             nvol=nvol, factor=cfg.adapt_factor,
             targets=(cfg.acc_target_pos, cfg.acc_target_vol,
                      cfg.acc_target_hmc),
             exchange=True, npress=npress, ntemp=ntemp,
-            write_traj=write_traj)
+            write_traj=write_traj))
         out = run(setup.states, setup.slabs, setup.slab_count, setup.shift,
                   setup.slot_of, jax.random.key(cfg.seed + 1), setup.pot,
                   setup.cell_tabs, setup.t_grid, setup.p_grid,
@@ -277,14 +299,18 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
     elif setup.engine == "dense":
         import neuralmelting_tpu.sampler.checkerboard as CB
         npasses = CB.default_npasses(setup.natoms, setup.cellcfg)
-        run = DS.make_dense_run_fn(
+        key = ("dense", setup.cellcfg.ncell, setup.shell, setup.gcap,
+               cfg.mod, nrecords, nvol, cfg.adapt_factor, npress, ntemp,
+               write_traj, cfg.acc_target_pos, cfg.acc_target_vol,
+               setup.us.kb)
+        run = _cached_run_fn(key, lambda: DS.make_dense_run_fn(
             setup.us.kb, setup.us.p2e, setup.cellcfg, shell=setup.shell,
             gcap=setup.gcap, mod=cfg.mod, nrecords=nrecords,
             npasses=npasses, nvol=nvol, factor=cfg.adapt_factor,
             targets=(cfg.acc_target_pos, cfg.acc_target_vol,
                      cfg.acc_target_hmc),
             exchange=True, npress=npress, ntemp=ntemp,
-            write_traj=write_traj)
+            write_traj=write_traj))
         out = run(setup.states, setup.gms, setup.slot_of,
                   jax.random.key(cfg.seed + 1), setup.pot, setup.table,
                   setup.t_grid, setup.p_grid)
@@ -292,15 +318,20 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
         nls, aux = setup.nls, setup.aux
         setup = dataclasses.replace(setup, gms=gms)
     else:
-        run = ENS.make_ensemble_run_fn(
+        key = ("gather", setup.cellcfg.ncell, cfg.mod, nrecords, nvol,
+               nhmc, cfg.nstps, setup.mass, cfg.adapt_factor, setup.cap,
+               cfg.skin, setup.style, npress, ntemp, write_traj,
+               setup.natoms, cfg.acc_target_pos, cfg.acc_target_vol,
+               cfg.acc_target_hmc, setup.us.kb)
+        run = _cached_run_fn(key, lambda: ENS.make_ensemble_run_fn(
             setup.us.kb, setup.us.p2e, setup.cellcfg, skin=cfg.skin,
             capacity=setup.cap, mod=cfg.mod, nrecords=nrecords,
             nvol=nvol, nhmc=nhmc, nstps=cfg.nstps, mass=setup.mass,
             factor=cfg.adapt_factor,
             targets=(cfg.acc_target_pos, cfg.acc_target_vol,
                      cfg.acc_target_hmc),
-            natoms=setup.natoms, exchange=True, npress=npress, ntemp=ntemp,
-            style=setup.style, write_traj=write_traj)
+            natoms=setup.natoms, exchange=True, npress=npress,
+            ntemp=ntemp, style=setup.style, write_traj=write_traj))
         out = run(setup.states, setup.nls, setup.aux, setup.slot_of,
                   jax.random.key(cfg.seed + 1), setup.pot, setup.table,
                   setup.t_grid, setup.p_grid)
