@@ -24,8 +24,9 @@ def main(argv=None):
     ap.add_argument("--no-traj", action="store_true")
     ap.add_argument("--engine", default="gather",
                     choices=("gather", "dense", "cellmc"),
-                    help="dense = gather-free MXU sampler; cellmc = "
-                         "whole-sweep Pallas cell kernel (both LJ only)")
+                    help="dense = gather-free MXU sampler (LJ only); "
+                         "cellmc = whole-sweep Pallas cell kernels "
+                         "(LJ stride-2, EAM stride-3 Chebyshev)")
     ap.add_argument("--restart", default=None,
                     help="checkpoint .npz to resume from")
     ap.add_argument("--profile", default=None, metavar="DIR",

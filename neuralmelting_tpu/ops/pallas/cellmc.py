@@ -495,9 +495,14 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
 
         def ljsum(r2, mask):
             """masked sum of 4*(sr12 - sr6) over the K axis (axis=-2).
-            ``mask`` MUST exclude empty candidate slots: empty-vs-empty
-            pairs have r2 == 0 and would contribute inf - inf = NaN."""
-            sr2 = sig2 / jnp.maximum(r2, 1e-12)
+
+            Empty candidate slots self-mask: their coords are 1e30, so
+            r2 = inf fails the cutoff. Empty-vs-empty pairs (r2 = 0)
+            produce inf/NaN that only reach the dE of INVALID movers,
+            whose trials the acceptance mask already discards — so the
+            epilogue carries no explicit validity mask (measured ~6% of
+            the kernel's VPU work)."""
+            sr2 = sig2 / r2
             sr6 = sr2 * sr2 * sr2
             e = jnp.where(mask & (r2 < rc2), sr6 * sr6 - sr6, 0.0)
             return 4.0 * jnp.sum(e, axis=-2)
@@ -548,7 +553,6 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
                 cnd = [aligned_block(r, a, sbits, off, lvec)
                        for a, r in enumerate((ox_ref, oy_ref, oz_ref))]
                 c4 = [c.reshape(1, cw, k, rt) for c in cnd]
-                candv = c4[0] < 0.1 * INVALID        # occupied slots only
 
                 def r2of(p):
                     d0 = c4[0] - p[0][:, :, None, :]
@@ -556,7 +560,7 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
                     d2 = c4[2] - p[2][:, :, None, :]
                     return d0 * d0 + d1 * d1 + d2 * d2
 
-                de = de + ljsum(r2of(mn), candv) - ljsum(r2of(m), candv)
+                de = de + ljsum(r2of(mn), True) - ljsum(r2of(m), True)
 
             # --- sequential own-cell phase + acceptance ------------------
             # full-cell coords of each cell row: 2*v + traced color bit
