@@ -677,7 +677,7 @@ def make_total_fn(geom: CellGeom, interpret: bool = False, rt: int = RT):
     stride = geom.stride
     ncolors = geom.ncolors
     blk = cw * k
-    mch = 8                           # mover slots per chunk
+    mch = 16                          # mover slots per chunk
     row_iota, roll0, aligned_block, align_value, neighbor_color = \
         _block_utils(geom, rt)
 
