@@ -127,8 +127,11 @@ def make_geom(box0, rc: float, natoms: int, nsub: int = 8,
         mean = dens * cellvol
         kcap = int(np.ceil((mean + 4.5 * np.sqrt(mean) + 4) / 8)) * 8
     kcap = max(kcap, nsub)
-    kcap = -(-kcap // nsub) * nsub            # divisible by J
-    kcap = -(-kcap // 8) * 8                  # sublane-tile friendly
+    # divisible by J (slot groups) AND by 16 (the total kernels iterate
+    # mover slots in chunks of 16; a remainder would silently drop pairs
+    # from total energy/virial — ADVICE.md r2)
+    q = int(np.lcm(nsub, 16))
+    kcap = -(-kcap // q) * q
     return CellGeom(ncell=ncell, kcap=kcap, nsub=nsub, natoms=natoms,
                     stride=stride)
 
@@ -678,6 +681,9 @@ def make_total_fn(geom: CellGeom, interpret: bool = False, rt: int = RT):
     ncolors = geom.ncolors
     blk = cw * k
     mch = 16                          # mover slots per chunk
+    assert k % mch == 0, (            # make_geom guarantees this
+        f"kcap={k} must be a multiple of {mch}: the chunked mover loop "
+        "would silently drop pairs from the totals")
     row_iota, roll0, aligned_block, align_value, neighbor_color = \
         _block_utils(geom, rt)
 

@@ -321,6 +321,9 @@ def make_eam_total_fn(geom: CellGeom, nser: tuple, with_virial: bool,
     """
     assert geom.stride == 3
     k = geom.kcap
+    assert k % 16 == 0, (             # make_geom guarantees this
+        f"kcap={k} must be a multiple of 16: the chunked mover loop "
+        "would silently drop pairs from the totals")
     cw = geom.cw
     ncolors = geom.ncolors
     stride = geom.stride
@@ -482,7 +485,10 @@ def make_eam_total_fn(geom: CellGeom, nser: tuple, with_virial: bool,
 
         jax.lax.fori_loop(0, ncolors, color_step2, 0, unroll=False)
         st_ref[0:1] = st_ref[2:3] + st_ref[3:4]          # E
-        st_ref[1:2] = st_ref[5:6] + st_ref[6:7]          # W
+        # rows 5/6 accumulate +dE/dlns = +sum r dU/dr; the repo virial
+        # convention is W = sum r*f = -sum r dU/dr (ops/eam_energy.py:62,
+        # matching the LJ engines' combine_sums) — negate here.
+        st_ref[1:2] = -(st_ref[5:6] + st_ref[6:7])       # W
 
     def total(slabs3, params, scal, series, scale):
         x, y, z = slabs3

@@ -198,7 +198,14 @@ def restore_setup(setup: RunSetup, checkpoint_path: str) -> RunSetup:
     extra = {}
     if setup.engine == "cellmc":
         shift = jnp.zeros((3,), jnp.float32)
-        slabs, slab_count, _ = SC.build_slabs(setup.geom, states, shift)
+        slabs, slab_count, over = SC.build_slabs(setup.geom, states, shift)
+        if bool(over):
+            # mirror setup_run: silently clipping a cell to kcap slots
+            # would drop atoms from the restored configuration
+            raise RuntimeError(
+                "cell slot capacity overflow while restoring checkpoint "
+                "(NPT-compressed boxes exceed kcap); rebuild the geometry "
+                "with a larger kcap")
         if setup.style == "eam":
             scal, series, nser = SC.eam_pack(setup.pot)
             states, rho = SC.eam_initial_rho(setup.geom, states, slabs,

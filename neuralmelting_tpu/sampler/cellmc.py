@@ -163,6 +163,10 @@ def make_cellmc_run_fn(kb, p2e, geom, mod: int, nrecords: int,
             ok = (vol + dv) > 0.0
             s = jnp.where(ok, jnp.cbrt(jnp.maximum(vol + dv, 1e-6) / vol),
                           1.0)
+            # params must track the box accepted by an earlier trial in
+            # this loop (stale Lx/Ly/Lz would corrupt the periodic wrap
+            # correction in the stencil — ADVICE.md r2)
+            params = params_of(states)
             e_old, w_old, e_new = totals(total_k, (x, y, z, ids),
                                          params, pot, s)
             beta = 1.0 / (kb * states.temp)
@@ -394,6 +398,17 @@ def make_eam_run_fn(kb, p2e, geom, nser, mod: int, nrecords: int,
             ntp=states.ntp + st[2].astype(jnp.int32))
 
         key, kvol, kreb = jax.random.split(key, 3)
+        if nvol > 0:
+            # exact e_old: one s=1 pass refreshes pe AND the density
+            # cache before the trials — the incrementally accumulated
+            # states.pe carries f32 drift since the last record, which
+            # the LJ path's same-pass e_old deliberately avoids
+            # (VERDICT.md r2 weak #3)
+            params = params_of(states)
+            st1, rho1 = total_e((x.T, y.T, z.T), params, scal, series,
+                                jnp.ones((1, r), jnp.float32))
+            rho = rho1.T
+            states = states.replace(pe=st1[0])
         for v in range(nvol):
             kv = jax.random.fold_in(kvol, v)
             ku, ka = jax.random.split(kv)
@@ -403,6 +418,10 @@ def make_eam_run_fn(kb, p2e, geom, nser, mod: int, nrecords: int,
             ok = (vol + dv) > 0.0
             s = jnp.where(ok, jnp.cbrt(jnp.maximum(vol + dv, 1e-6) / vol),
                           1.0)
+            # recompute per trial: an accepted earlier trial rescaled the
+            # box, and the stencil's +-L wrap correction reads params
+            # (ADVICE.md r2)
+            params = params_of(states)
             stt, rho_s = total_e((x.T, y.T, z.T), params, scal, series,
                                  s[None, :])
             e_new = stt[0]

@@ -125,7 +125,8 @@ def test_eam_total_energy_virial(cheb):
     stm, _ = total_e0((t(x), t(y), t(z)), params, scal, series,
                      jnp.full((1, r), 1.0 - h, jnp.float32))
     w_fd = float((stp[0, 0] - stm[0, 0]) / (2 * h))
-    assert abs(float(st[1, 0]) - w_fd) / max(1.0, abs(w_fd)) < 1e-3
+    # repo convention: W = sum r*f = -dE/dlns (ops/eam_energy.py:62)
+    assert abs(float(st[1, 0]) + w_fd) / max(1.0, abs(w_fd)) < 1e-3
 
 
 def test_eam_sweep_pe_and_rho_tracking(cheb):

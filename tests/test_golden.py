@@ -77,7 +77,8 @@ def test_golden_hmc_move_for_move():
     state, recs, frames, ref, ref_recs = run_pair(
         ncells=2, temp=0.8, press=1.0, nsweeps=2, mod=1,
         ppos=0.7, pvol=0.05, seed=9)       # ~25% HMC attempts
-    assert ref.nth + int(state.nth) > 0 or ref_recs  # HMC actually ran
+    # HMC coverage is asserted below via total_nth (the live nth counters
+    # are reset by the per-record adaptation, so they can't be used here)
     # f32 leapfrog dynamics are chaotic: tiny rounding-order differences
     # between XLA and numpy grow along each trajectory, so positions track
     # to ~1e-2 over this horizon (a logic/coverage bug gives O(0.1-1)).
