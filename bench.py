@@ -54,8 +54,11 @@ def main():
     run = SC.make_cellmc_run_fn(
         setup.us.kb, setup.us.p2e, setup.geom, mod=SWEEPS_PER_CHUNK,
         nrecords=1, ncyc=SC.default_ncyc(setup.geom),
-        nvol=1,    # one full-energy volume trial per sweep (see README
-                   # "Known deviations": bursty-vs-stochastic move mix)
+        nvol=1, vol_every=4,   # one full-energy volume trial per 4 sweeps
+        rebin_every=2,         # grid-shift rebin sort every 2nd sweep
+        # (deterministic sweep-counter schedules — see make_cellmc_run_fn
+        # docstring; the reference's pvol~0.03 move mix attempts volume
+        # trials even less often per position trial)
         exchange=True, npress=npress, ntemp=ntemp,
         adapt=False, write_traj=False)
     seed0 = jnp.asarray([cfg.seed, cfg.seed + 7], jnp.int32)

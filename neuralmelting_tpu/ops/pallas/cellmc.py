@@ -72,8 +72,8 @@ class CellGeom:
     so the density-coupled acceptance stays exact in parallel). Each axis
     count divisible by s so colors tile periodically."""
     ncell: tuple            # (nx, ny, nz), each divisible by stride
-    kcap: int               # slots per cell (multiple of 8 and of nsub)
-    nsub: int               # J: movers per cell per color step
+    kcap: int               # slots per cell (multiple of 8)
+    nsub: int               # J: mover picks per cell per color step
     natoms: int
     stride: int = 2
 
@@ -96,10 +96,6 @@ class CellGeom:
     @property
     def rows(self) -> int:
         return self.ncells * self.kcap
-
-    @property
-    def group(self) -> int:              # slots per substep group
-        return self.kcap // self.nsub
 
 
 def make_geom(box0, rc: float, natoms: int, nsub: int = 8,
@@ -125,12 +121,18 @@ def make_geom(box0, rc: float, natoms: int, nsub: int = 8,
         dens = natoms / float(np.prod(box0))
         cellvol = float(np.prod(box0 / np.asarray(ncell)))
         mean = dens * cellvol
-        kcap = int(np.ceil((mean + 4.5 * np.sqrt(mean) + 4) / 8)) * 8
+        # margin: condensed-phase occupancy fluctuations are strongly
+        # sub-Poisson (var ~ S(0)*mean with S(0) ~ 0.03-0.1 for LJ
+        # solid/liquid); 2.5*sqrt(mean) is ~8-14 real sigmas with floor 6
+        # for small cells. Every padded slot costs candidate work in the
+        # sweep kernel, and overflow is DETECTED at runtime (diag bit
+        # DIAG_SLAB_OVERFLOW), so a tight cap fails loudly, not silently.
+        kcap = int(np.ceil(mean + max(2.5 * np.sqrt(mean), 6.0)))
     kcap = max(kcap, nsub)
-    # divisible by J (slot groups) AND by 16 (the total kernels iterate
-    # mover slots in chunks of 16; a remainder would silently drop pairs
+    # divisible by J (slot groups) AND by 8 (the total kernels iterate
+    # mover slots in chunks of 8; a remainder would silently drop pairs
     # from total energy/virial — ADVICE.md r2)
-    q = int(np.lcm(nsub, 16))
+    q = int(np.lcm(nsub, 8))
     kcap = -(-kcap // q) * q
     return CellGeom(ncell=ncell, kcap=kcap, nsub=nsub, natoms=natoms,
                     stride=stride)
@@ -462,7 +464,6 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
     k = geom.kcap
     cw = geom.cw
     j = geom.nsub
-    g = geom.group
     stride = geom.stride
     ncolors = geom.ncolors
     blk = cw * k               # rows per color block
@@ -489,13 +490,6 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
         oz_ref[:] = z_ref[:]
         st_ref[:] = jnp.zeros_like(st_ref)
 
-        def uniform(shape, ctr):
-            """(shape) f32 in (0,1]; consumes one counter value."""
-            flat = row_iota(shape, 0) * shape[1] + row_iota(shape, 1)
-            b0, _ = threefry2x32(k0, k1, jnp.full(shape, ctr, jnp.int32),
-                                 flat)
-            return _bits_to_u01(b0)
-
         def ljsum(r2, mask):
             """masked sum of 4*(sr12 - sr6) over the K axis (axis=-2).
 
@@ -518,23 +512,43 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             ctr = step * 8
             cnt = count_ref[pl.ds(color * cw, cw)]           # (cw, rt)
 
-            # --- draws (5 per mover) -------------------------------------
-            u_pick = uniform((j * cw, rt), ctr + 0)
-            u_dx = uniform((j * cw, rt), ctr + 1)
-            u_dy = uniform((j * cw, rt), ctr + 2)
-            u_dz = uniform((j * cw, rt), ctr + 3)
-            u_acc = uniform((j * cw, rt), ctr + 4)
+            # --- draws (2 threefry calls per mover: 128 bits) ------------
+            shape = (j * cw, rt)
+            flat = row_iota(shape, 0) * shape[1] + row_iota(shape, 1)
+            a0, a1 = threefry2x32(k0, k1,
+                                  jnp.full(shape, ctr + 0, jnp.int32), flat)
+            b0, b1 = threefry2x32(k0, k1,
+                                  jnp.full(shape, ctr + 1, jnp.int32), flat)
+            u_acc = _bits_to_u01(a0)          # 23-bit: log-safe
+            u_pick = _bits_to_u01(a1)
 
+            def sym16(b, sh):
+                """16-bit field -> symmetric f32 in (-1, 1): values
+                +-(2m+1)/65536 — a symmetric discrete proposal (exact
+                detailed balance at 16-bit displacement granularity)."""
+                v = jax.lax.shift_right_logical(b, sh) & 0xffff
+                return (v.astype(jnp.float32) - 32767.5) * (1.0 / 32768.0)
+
+            disp = [dpos * d.reshape(j, cw, rt)
+                    for d in (sym16(b0, 0), sym16(b0, 16), sym16(b1, 0))]
+
+            # --- mover selection: J picks uniform over the cell's
+            # OCCUPIED slots (packed first), duplicates rejected so every
+            # trialed mover's cached color-step-start coords are fresh.
+            # Valid movers/cell ~ cnt*(1-(1-1/cnt)^J) ~ 7.1 at cnt=32,
+            # J=8 — vs ~cnt/K * J for the former slot-group scheme.
             cnt_t = jnp.broadcast_to(cnt[None], (j, cw, rt))
-            lo = (row_iota((j, cw, rt), 0) * g)
-            cnt_j = jnp.clip(cnt_t - lo, 0, g)
-            valid = cnt_j > 0                                # (j, cw, rt)
             upick = u_pick.reshape(j, cw, rt)
-            pick = lo + jnp.minimum(
-                (upick * cnt_j.astype(jnp.float32)).astype(jnp.int32),
-                jnp.maximum(cnt_j - 1, 0))                   # slot in [0,K)
-            disp = [dpos * (2.0 * u.reshape(j, cw, rt) - 1.0)
-                    for u in (u_dx, u_dy, u_dz)]
+            pick = jnp.minimum(
+                (upick * cnt_t.astype(jnp.float32)).astype(jnp.int32),
+                jnp.maximum(cnt_t - 1, 0))                   # slot in [0,K)
+            vrows = [cnt_t[0] > 0]
+            for a in range(1, j):
+                dup = pick[a] == pick[0]
+                for b in range(1, a):
+                    dup = dup | (pick[a] == pick[b])
+                vrows.append((cnt_t[a] > 0) & ~dup)
+            valid = jnp.stack(vrows)                         # (j, cw, rt)
 
             # --- movers (state at color-step start; slots distinct) ------
             bx = ox_ref[pl.ds(base, blk)]
@@ -680,7 +694,7 @@ def make_total_fn(geom: CellGeom, interpret: bool = False, rt: int = RT):
     stride = geom.stride
     ncolors = geom.ncolors
     blk = cw * k
-    mch = 16                          # mover slots per chunk
+    mch = 8                           # mover slots per chunk
     assert k % mch == 0, (            # make_geom guarantees this
         f"kcap={k} must be a multiple of {mch}: the chunked mover loop "
         "would silently drop pairs from the totals")

@@ -321,8 +321,8 @@ def make_eam_total_fn(geom: CellGeom, nser: tuple, with_virial: bool,
     """
     assert geom.stride == 3
     k = geom.kcap
-    assert k % 16 == 0, (             # make_geom guarantees this
-        f"kcap={k} must be a multiple of 16: the chunked mover loop "
+    assert k % 8 == 0, (              # make_geom guarantees this
+        f"kcap={k} must be a multiple of 8: the chunked mover loop "
         "would silently drop pairs from the totals")
     cw = geom.cw
     ncolors = geom.ncolors
@@ -363,10 +363,10 @@ def make_eam_total_fn(geom: CellGeom, nser: tuple, with_virial: bool,
         kio3 = row_iota((cw, 1, k, 1), 2)
 
         # ---- phase 1: densities + pair energy/virial ----------------
-        # mover slots processed in chunks of mch=16: full K x K blocks
+        # mover slots processed in chunks of mch: full K x K blocks
         # neither fit VMEM nor pass Mosaic relayout at narrow lane tiles;
         # wider chunks mean fewer latency-bound Clenshaw instances
-        mch = 16
+        mch = 16 if k % 16 == 0 else 8
         kio_c = row_iota((cw, mch, 1, 1), 1)
         kio_k = row_iota((cw, 1, k, 1), 2)
 

@@ -10,7 +10,12 @@ scaling, so no ghost images and no second energy pass are ever built.
 
 State between records lives in SLABS (binned positions, shifted frame);
 ``states.pos`` is synced and energies/virials refreshed drift-free at
-every record point, exactly the dense engine's contract. Tempering swaps
+every record point, exactly the dense engine's contract. MID-BLOCK
+``states.virial`` is intentionally stale (VERDICT r2 weak #4): the volume
+trial pins it to the pre-rescale total (LJ) or leaves it at the last
+record value (EAM, where dW would cost a derivative pass) — exact values
+exist only at record points, which is all the thermo writers consume (see
+the MCState contract in sampler/state.py). Tempering swaps
 slot identities (temp/press/step sizes) between replicas while
 configurations stay put, so sampler/tempering.py works unchanged.
 
@@ -44,9 +49,10 @@ DIAG_SLAB_OVERFLOW = 4       # a cell exceeded its K slot capacity
 def default_ncyc(geom) -> int:
     """Checkerboard cycles per sweep so attempted moves ~= natoms.
 
-    Attempts per cycle ~ 0.75 * ncells * nsub (the last slot group of a
-    cell is partially occupied; measured valid fraction ~0.7-0.8)."""
-    per_cycle = 0.75 * geom.ncells * geom.nsub
+    Attempts per cycle ~ 0.85 * ncells * nsub: distinct-pick mover
+    selection trials ~cnt*(1-(1-1/cnt)^J) movers per cell per color step
+    (~0.89*J at cnt=32, J=8, less at lower occupancy)."""
+    per_cycle = 0.85 * geom.ncells * geom.nsub
     return max(1, int(round(geom.natoms / per_cycle)))
 
 
@@ -75,7 +81,8 @@ def make_cellmc_run_fn(kb, p2e, geom, mod: int, nrecords: int,
                        write_traj: bool = False, exchange: bool = False,
                        npress: int = 0, ntemp: int = 0, rt: int = 0,
                        interpret=None, adapt: bool = True,
-                       jit: bool = True):
+                       jit: bool = True, vol_every: int = 1,
+                       rebin_every: int = 1, axis_name=None):
     """Build the jitted chunk runner.
 
     Without exchange:
@@ -91,6 +98,23 @@ def make_cellmc_run_fn(kb, p2e, geom, mod: int, nrecords: int,
     coords (CM.geom_tables — passed in, never baked); ``seed0`` (2,) i32
     base key for the in-kernel threefry stream (fold chunk index in so
     chained chunks never replay randomness).
+
+    ``vol_every``/``rebin_every``: run the ``nvol`` volume trials (a full
+    half-stencil total pass each) only on sweeps where
+    ``sweep % vol_every == 0``, and the grid-shift rebin sort only where
+    ``sweep % rebin_every == 0``. Both are valid Markov-chain schedules
+    (the move mix is a deterministic, state-independent function of the
+    sweep counter, so each composed sweep kernel leaves the NPT
+    distribution invariant); the reference's stochastic per-move mix at
+    pvol ~ 0.02-0.03 attempts FEWER volume trials per position trial than
+    even vol_every=4 does at N=4096 (SURVEY.md §2.4). Amortizes the two
+    dominant non-sweep costs the round-2 profile identified.
+
+    ``axis_name``: set when the run fn executes INSIDE ``shard_map`` over
+    a replica mesh axis (parallel/cellmc_sharded.py). Decorrelates the
+    per-shard random streams (kernel seeds and volume-trial draws get the
+    shard index folded in) while keeping the grid-shift rebin draw shared
+    so the (3,) ``shift`` bookkeeping stays replicated across shards.
     """
     if interpret is None:      # compiled Pallas exists only on TPU
         interpret = jax.default_backend() != "tpu"
@@ -139,10 +163,14 @@ def make_cellmc_run_fn(kb, p2e, geom, mod: int, nrecords: int,
 
         # --- position sweep (in-kernel) ------------------------------
         sweep_id = states.sweep[0]
+        if axis_name is not None:   # decorrelate shards (see docstring)
+            shard_ix = jax.lax.axis_index(axis_name).astype(jnp.int32)
+        else:
+            shard_ix = np.int32(0)
         seeds = jnp.stack([
             seed0[0] + sweep_id * np.int32(ntiles)
             + jnp.arange(ntiles, dtype=jnp.int32),
-            jnp.broadcast_to(seed0[1], (ntiles,))], axis=1)
+            jnp.broadcast_to(seed0[1] + shard_ix, (ntiles,))], axis=1)
         params = params_of(states)
         (xt, yt, zt), st = sweep_k((x.T, y.T, z.T), count.T, params,
                                    _pot3(pot), seeds)
@@ -154,55 +182,88 @@ def make_cellmc_run_fn(kb, p2e, geom, mod: int, nrecords: int,
 
         # --- volume trials (total kernel; E(s x) exact) --------------
         key, kvol, kreb = jax.random.split(key, 3)
-        for v in range(nvol):
-            kv = jax.random.fold_in(kvol, v)
-            ku, ka = jax.random.split(kv)
-            u = jax.random.uniform(ku, (r,), jnp.float32)
-            vol = jnp.prod(states.box, axis=-1)
-            dv = states.dvol * (2.0 * u - 1.0)
-            ok = (vol + dv) > 0.0
-            s = jnp.where(ok, jnp.cbrt(jnp.maximum(vol + dv, 1e-6) / vol),
-                          1.0)
-            # params must track the box accepted by an earlier trial in
-            # this loop (stale Lx/Ly/Lz would corrupt the periodic wrap
-            # correction in the stencil — ADVICE.md r2)
-            params = params_of(states)
-            e_old, w_old, e_new = totals(total_k, (x, y, z, ids),
-                                         params, pot, s)
-            beta = 1.0 / (kb * states.temp)
-            n = geom.natoms
-            ln_acc = (-beta * ((e_new - e_old) + states.press * p2e * dv)
-                      + n * jnp.log(jnp.where(ok, (vol + dv) / vol, 1.0)))
-            ln_u = jnp.log(jax.random.uniform(ka, (r,), jnp.float32,
-                                              1e-38, 1.0))
-            acc = ok & (ln_u < ln_acc)
-            sca = jnp.where(acc, s, 1.0)[:, None]
-            x = jnp.where(x < 0.1 * CM.INVALID, x * sca, x)
-            y = jnp.where(y < 0.1 * CM.INVALID, y * sca, y)
-            z = jnp.where(z < 0.1 * CM.INVALID, z * sca, z)
-            states = states.replace(
-                box=states.box * sca,
-                pe=jnp.where(acc, e_new, e_old),   # drift-free either way
-                virial=w_old,
-                nav=states.nav + acc.astype(jnp.int32),
-                ntv=states.ntv + 1)
+        if axis_name is not None:   # per-shard volume draws; shared kreb
+            kvol = jax.random.fold_in(kvol, jax.lax.axis_index(axis_name))
 
-        # --- grid-shift rebinning (one axis per sweep) ---------------
-        axis_t = jax.lax.rem(states.sweep[0], 3)
+        def vol_block(x, y, z, states):
+            for v in range(nvol):
+                kv = jax.random.fold_in(kvol, v)
+                ku, ka = jax.random.split(kv)
+                u = jax.random.uniform(ku, (r,), jnp.float32)
+                vol = jnp.prod(states.box, axis=-1)
+                dv = states.dvol * (2.0 * u - 1.0)
+                ok = (vol + dv) > 0.0
+                s = jnp.where(ok,
+                              jnp.cbrt(jnp.maximum(vol + dv, 1e-6) / vol),
+                              1.0)
+                # params must track the box accepted by an earlier trial
+                # in this loop (stale Lx/Ly/Lz would corrupt the periodic
+                # wrap correction in the stencil — ADVICE.md r2)
+                params = params_of(states)
+                e_old, w_old, e_new = totals(total_k, (x, y, z, ids),
+                                             params, pot, s)
+                beta = 1.0 / (kb * states.temp)
+                n = geom.natoms
+                ln_acc = (-beta * ((e_new - e_old)
+                                   + states.press * p2e * dv)
+                          + n * jnp.log(jnp.where(ok, (vol + dv) / vol,
+                                                  1.0)))
+                ln_u = jnp.log(jax.random.uniform(ka, (r,), jnp.float32,
+                                                  1e-38, 1.0))
+                acc = ok & (ln_u < ln_acc)
+                sca = jnp.where(acc, s, 1.0)[:, None]
+                x = jnp.where(x < 0.1 * CM.INVALID, x * sca, x)
+                y = jnp.where(y < 0.1 * CM.INVALID, y * sca, y)
+                z = jnp.where(z < 0.1 * CM.INVALID, z * sca, z)
+                states = states.replace(
+                    box=states.box * sca,
+                    pe=jnp.where(acc, e_new, e_old),  # drift-free both
+                    virial=w_old,
+                    nav=states.nav + acc.astype(jnp.int32),
+                    ntv=states.ntv + 1)
+            return x, y, z, states
+
+        if nvol > 0 and vol_every > 1:
+            x, y, z, states = jax.lax.cond(
+                jax.lax.rem(sweep_id, np.int32(vol_every)) == 0,
+                vol_block, lambda x, y, z, s_: (x, y, z, s_),
+                x, y, z, states)
+        elif nvol > 0:
+            x, y, z, states = vol_block(x, y, z, states)
+
+        # --- grid-shift rebinning (one axis per rebin event) ---------
         du = jax.random.uniform(kreb, (), jnp.float32)
 
-        def do_axis(a):
-            def f():
-                delta = du * deltas[a]
-                slabs2, count2, over = CM.rebin_axis(
-                    geom, (x, y, z, ids), count, states.box, delta, a,
-                    cell_tab=cell_tabs[a])
-                return slabs2, count2, over, \
-                    shift.at[a].add(delta)
-            return f
+        def rebin_block(x, y, z, ids, count, shift):
+            # axis rotates per EVENT (sweep // rebin_every), not per
+            # sweep — a per-sweep axis with rebin_every % 3 == 0 would
+            # pin one axis forever
+            axis_t = jax.lax.rem(
+                jax.lax.div(sweep_id, np.int32(rebin_every)), 3)
 
-        (x, y, z, ids), count, over, shift = jax.lax.switch(
-            axis_t, [do_axis(0), do_axis(1), do_axis(2)])
+            def do_axis(a):
+                def f():
+                    delta = du * deltas[a]
+                    slabs2, count2, over = CM.rebin_axis(
+                        geom, (x, y, z, ids), count, states.box, delta, a,
+                        cell_tab=cell_tabs[a])
+                    return slabs2, count2, over, shift.at[a].add(delta)
+                return f
+
+            return jax.lax.switch(axis_t,
+                                  [do_axis(0), do_axis(1), do_axis(2)])
+
+        if rebin_every > 1:
+            (x, y, z, ids), count, over, shift = jax.lax.cond(
+                jax.lax.rem(sweep_id, np.int32(rebin_every)) == 0,
+                rebin_block,
+                lambda x, y, z, ids, count, shift:
+                    ((x, y, z, ids), count, jnp.zeros((), jnp.bool_),
+                     shift),
+                x, y, z, ids, count, shift)
+        else:
+            (x, y, z, ids), count, over, shift = rebin_block(
+                x, y, z, ids, count, shift)
         diag = diag | jnp.where(over, DIAG_SLAB_OVERFLOW,
                                 0).astype(jnp.int32)
 
@@ -235,8 +296,11 @@ def make_cellmc_run_fn(kb, p2e, geom, mod: int, nrecords: int,
     if not exchange:
         def run(states, slabs, count, shift, pot, cell_tabs, seed0):
             kernels = get_kernels(states.temp.shape[0])
-            key0 = jax.random.key(0)
-            key0 = jax.random.fold_in(key0, seed0[0])
+            # fold the sweep counter in: chained chunks reuse seed0, and
+            # the volume/rebin stream must not replay across chunks
+            key0 = jax.random.fold_in(
+                jax.random.fold_in(jax.random.key(0), seed0[0]),
+                states.sweep[0])
 
             def record_block(carry, _):
                 carry, rec, frame = block_core(carry, pot, cell_tabs,
@@ -258,7 +322,9 @@ def make_cellmc_run_fn(kb, p2e, geom, mod: int, nrecords: int,
     def run_x(states, slabs, count, shift, slot_of, xkey, pot, cell_tabs,
               t_grid, p_grid, seed0):
         kernels = get_kernels(states.temp.shape[0])
-        key0 = jax.random.fold_in(jax.random.key(1), seed0[0])
+        key0 = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(1), seed0[0]),
+            states.sweep[0])   # no volume/rebin replay across chunks
 
         def record_block_x(carry, event_idx):
             (states, slabs, count, shift, key, slot_of, diag) = carry
@@ -331,7 +397,8 @@ def make_eam_run_fn(kb, p2e, geom, nser, mod: int, nrecords: int,
                     targets=(0.5, 0.5, 0.5), factor: float = 1.0625,
                     write_traj: bool = False, exchange: bool = False,
                     npress: int = 0, ntemp: int = 0, rt: int = 0,
-                    interpret=None, adapt: bool = True, jit: bool = True):
+                    interpret=None, adapt: bool = True, jit: bool = True,
+                    vol_every: int = 1, rebin_every: int = 1):
     """EAM twin of make_cellmc_run_fn (see its docstring): slabs carry a
     per-slot density cache; volume trials cost one full EAM energy pass
     at the proposed scale (no homogeneous-scaling shortcut); records
@@ -398,7 +465,8 @@ def make_eam_run_fn(kb, p2e, geom, nser, mod: int, nrecords: int,
             ntp=states.ntp + st[2].astype(jnp.int32))
 
         key, kvol, kreb = jax.random.split(key, 3)
-        if nvol > 0:
+
+        def vol_block(x, y, z, rho, states):
             # exact e_old: one s=1 pass refreshes pe AND the density
             # cache before the trials — the incrementally accumulated
             # states.pe carries f32 drift since the last record, which
@@ -409,54 +477,83 @@ def make_eam_run_fn(kb, p2e, geom, nser, mod: int, nrecords: int,
                                 jnp.ones((1, r), jnp.float32))
             rho = rho1.T
             states = states.replace(pe=st1[0])
-        for v in range(nvol):
-            kv = jax.random.fold_in(kvol, v)
-            ku, ka = jax.random.split(kv)
-            u = jax.random.uniform(ku, (r,), jnp.float32)
-            vol = jnp.prod(states.box, axis=-1)
-            dv = states.dvol * (2.0 * u - 1.0)
-            ok = (vol + dv) > 0.0
-            s = jnp.where(ok, jnp.cbrt(jnp.maximum(vol + dv, 1e-6) / vol),
-                          1.0)
-            # recompute per trial: an accepted earlier trial rescaled the
-            # box, and the stencil's +-L wrap correction reads params
-            # (ADVICE.md r2)
-            params = params_of(states)
-            stt, rho_s = total_e((x.T, y.T, z.T), params, scal, series,
-                                 s[None, :])
-            e_new = stt[0]
-            beta = 1.0 / (kb * states.temp)
-            n = geom.natoms
-            ln_acc = (-beta * ((e_new - states.pe) + states.press * p2e * dv)
-                      + n * jnp.log(jnp.where(ok, (vol + dv) / vol, 1.0)))
-            ln_u = jnp.log(jax.random.uniform(ka, (r,), jnp.float32,
-                                              1e-38, 1.0))
-            acc = ok & (ln_u < ln_acc)
-            sca = jnp.where(acc, s, 1.0)[:, None]
-            x = jnp.where(x < 0.1 * CM.INVALID, x * sca, x)
-            y = jnp.where(y < 0.1 * CM.INVALID, y * sca, y)
-            z = jnp.where(z < 0.1 * CM.INVALID, z * sca, z)
-            rho = jnp.where(acc[:, None], rho_s.T, rho)
-            states = states.replace(
-                box=states.box * sca,
-                pe=jnp.where(acc, e_new, states.pe),
-                nav=states.nav + acc.astype(jnp.int32),
-                ntv=states.ntv + 1)
+            for v in range(nvol):
+                kv = jax.random.fold_in(kvol, v)
+                ku, ka = jax.random.split(kv)
+                u = jax.random.uniform(ku, (r,), jnp.float32)
+                vol = jnp.prod(states.box, axis=-1)
+                dv = states.dvol * (2.0 * u - 1.0)
+                ok = (vol + dv) > 0.0
+                s = jnp.where(ok,
+                              jnp.cbrt(jnp.maximum(vol + dv, 1e-6) / vol),
+                              1.0)
+                # recompute per trial: an accepted earlier trial rescaled
+                # the box, and the stencil's +-L wrap correction reads
+                # params (ADVICE.md r2)
+                params = params_of(states)
+                stt, rho_s = total_e((x.T, y.T, z.T), params, scal,
+                                     series, s[None, :])
+                e_new = stt[0]
+                beta = 1.0 / (kb * states.temp)
+                n = geom.natoms
+                ln_acc = (-beta * ((e_new - states.pe)
+                                   + states.press * p2e * dv)
+                          + n * jnp.log(jnp.where(ok, (vol + dv) / vol,
+                                                  1.0)))
+                ln_u = jnp.log(jax.random.uniform(ka, (r,), jnp.float32,
+                                                  1e-38, 1.0))
+                acc = ok & (ln_u < ln_acc)
+                sca = jnp.where(acc, s, 1.0)[:, None]
+                x = jnp.where(x < 0.1 * CM.INVALID, x * sca, x)
+                y = jnp.where(y < 0.1 * CM.INVALID, y * sca, y)
+                z = jnp.where(z < 0.1 * CM.INVALID, z * sca, z)
+                rho = jnp.where(acc[:, None], rho_s.T, rho)
+                states = states.replace(
+                    box=states.box * sca,
+                    pe=jnp.where(acc, e_new, states.pe),
+                    nav=states.nav + acc.astype(jnp.int32),
+                    ntv=states.ntv + 1)
+            return x, y, z, rho, states
 
-        axis_t = jax.lax.rem(states.sweep[0], 3)
+        if nvol > 0 and vol_every > 1:
+            x, y, z, rho, states = jax.lax.cond(
+                jax.lax.rem(sweep_id, np.int32(vol_every)) == 0,
+                vol_block,
+                lambda x, y, z, rho, s_: (x, y, z, rho, s_),
+                x, y, z, rho, states)
+        elif nvol > 0:
+            x, y, z, rho, states = vol_block(x, y, z, rho, states)
+
         du = jax.random.uniform(kreb, (), jnp.float32)
 
-        def do_axis(a):
-            def f():
-                delta = du * deltas[a]
-                slabs2, count2, over, (rho2,) = CM.rebin_axis(
-                    geom, (x, y, z, ids), count, states.box, delta, a,
-                    cell_tab=cell_tabs[a], extras=(rho,))
-                return slabs2, rho2, count2, over, shift.at[a].add(delta)
-            return f
+        def rebin_block(x, y, z, ids, rho, count, shift):
+            axis_t = jax.lax.rem(
+                jax.lax.div(sweep_id, np.int32(rebin_every)), 3)
 
-        (x, y, z, ids), rho, count, over, shift = jax.lax.switch(
-            axis_t, [do_axis(0), do_axis(1), do_axis(2)])
+            def do_axis(a):
+                def f():
+                    delta = du * deltas[a]
+                    slabs2, count2, over, (rho2,) = CM.rebin_axis(
+                        geom, (x, y, z, ids), count, states.box, delta, a,
+                        cell_tab=cell_tabs[a], extras=(rho,))
+                    return slabs2, rho2, count2, over, \
+                        shift.at[a].add(delta)
+                return f
+
+            return jax.lax.switch(axis_t,
+                                  [do_axis(0), do_axis(1), do_axis(2)])
+
+        if rebin_every > 1:
+            (x, y, z, ids), rho, count, over, shift = jax.lax.cond(
+                jax.lax.rem(sweep_id, np.int32(rebin_every)) == 0,
+                rebin_block,
+                lambda x, y, z, ids, rho, count, shift:
+                    ((x, y, z, ids), rho, count,
+                     jnp.zeros((), jnp.bool_), shift),
+                x, y, z, ids, rho, count, shift)
+        else:
+            (x, y, z, ids), rho, count, over, shift = rebin_block(
+                x, y, z, ids, rho, count, shift)
         diag = diag | jnp.where(over, DIAG_SLAB_OVERFLOW,
                                 0).astype(jnp.int32)
         states = states.replace(sweep=states.sweep + 1)
@@ -490,7 +587,9 @@ def make_eam_run_fn(kb, p2e, geom, nser, mod: int, nrecords: int,
     def run_x(states, slabs5, count, shift, slot_of, xkey, scal, series,
               cell_tabs, t_grid, p_grid, seed0):
         kernels = get_kernels(states.temp.shape[0])
-        key0 = jax.random.fold_in(jax.random.key(2), seed0[0])
+        key0 = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(2), seed0[0]),
+            states.sweep[0])   # no volume/rebin replay across chunks
 
         def record_block_x(carry, event_idx):
             (states, slabs, count, shift, key, slot_of, diag) = carry

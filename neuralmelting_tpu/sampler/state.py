@@ -20,7 +20,14 @@ class MCState:
     pos: jnp.ndarray        # (N, 3)
     box: jnp.ndarray        # (3,) edge lengths
     key: jnp.ndarray        # jax PRNG key (uint32[2] old-style or typed key)
-    # cached energetics (kept incrementally current)
+    # cached energetics (kept incrementally current).  CONTRACT: `pe` and
+    # `virial` are exact at every RECORD point (all engines refresh them
+    # with a drift-free total pass before emitting a record); BETWEEN
+    # records they may be stale or approximate — in particular the cellmc
+    # engines carry f32-accumulated pe and pin `virial` to its last
+    # record/pre-rescale value through mid-block volume moves
+    # (sampler/cellmc.py). Consumers must read thermodynamics from
+    # records, not from mid-block state.
     pe: jnp.ndarray         # () potential energy
     virial: jnp.ndarray     # () scalar pair virial sum r*f
     # thermodynamic target of the slot this replica currently owns

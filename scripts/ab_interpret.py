@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Compiled-vs-interpret A/B for the Pallas cell-MC kernels (VERDICT r2 #6).
+
+The sweep kernel's PRNG is a counter-based in-kernel threefry2x32, so the
+whole sweep is designed to be BIT-IDENTICAL between the compiled TPU
+lowering and interpret mode (ops/pallas/cellmc.py module docstring). This
+script converts that design claim into evidence: run one sweep batch and
+one total pass both ways on identical slabs on the SAME device and assert
+exact array equality. A Mosaic lowering bug that silently corrupted
+energies (which diag=0 cannot catch) would fail here.
+
+Run on the real TPU chip: `python scripts/ab_interpret.py`.
+Result is recorded in docs/tpu_notes.md per round.
+"""
+
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+from neuralmelting_tpu.models.lattice import make_supercell
+from neuralmelting_tpu.models.lj import LJCut
+from neuralmelting_tpu.ops.pallas import cellmc as CM
+from neuralmelting_tpu.sampler import cellmc as SC
+from neuralmelting_tpu.sampler.state import ensemble_init
+
+
+def main():
+    backend = jax.default_backend()
+    pot = LJCut.create()
+    pos, box = make_supercell("fcc", 2.0 ** (2 / 3), (8, 8, 8))  # 2048
+    r = 128
+    states = ensemble_init(pot, jnp.asarray(pos), jnp.asarray(box), 11,
+                           jnp.linspace(0.7, 1.3, r).astype(jnp.float32),
+                           jnp.full((r,), 2.0, jnp.float32),
+                           dpos0=0.11, dvol_frac0=0.002, dt0=0.005)
+    geom = CM.make_geom(box, pot.rc_host, len(pos), nsub=8)
+    shift = jnp.zeros((3,), jnp.float32)
+    (x, y, z, ids), count, over = SC.build_slabs(geom, states, shift)
+    assert not bool(over)
+
+    nxf, nyf, nzf = (float(n) for n in geom.ncell)
+    wvec = jnp.stack([states.box[:, 0] / nxf, states.box[:, 1] / nyf,
+                      states.box[:, 2] / nzf], axis=1)
+    params = jnp.stack([
+        1.0 / states.temp, jnp.full((r,), 0.11, jnp.float32),
+        wvec[:, 0], wvec[:, 1], wvec[:, 2],
+        states.box[:, 0], states.box[:, 1], states.box[:, 2]])
+    pot3 = jnp.stack([pot.eps, pot.sigma, pot.rc, jnp.zeros_like(pot.eps)])
+    seeds = jnp.asarray([[77, 3]], jnp.int32)
+    scale = jnp.full((1, r), 0.99, jnp.float32)
+
+    outs = {}
+    for mode in (False, True):
+        sweep = CM.make_sweep_fn(geom, ncyc=2, interpret=mode, rt=r)
+        total = CM.make_total_fn(geom, interpret=mode, rt=r)
+        (xs, ys, zs), st = jax.jit(sweep)(
+            (x.T, y.T, z.T), count.T, params, pot3, seeds)
+        sums = jax.jit(total)((xs, ys, zs), params, pot3, scale)
+        outs[mode] = tuple(np.asarray(a) for a in (xs, ys, zs, st, sums))
+
+    names = ("x", "y", "z", "sweep-stats", "total-sums")
+    ok = True
+    for name, a, b in zip(names, outs[False], outs[True]):
+        same = np.array_equal(a, b)
+        ok &= same
+        diff = 0.0 if same else float(np.max(np.abs(a - b)))
+        print(f"{name:12s} bitwise-equal={same}"
+              + ("" if same else f"  max|diff|={diff:.3e}"))
+    moved = float(np.mean(outs[False][3][2]))
+    print(f"backend={backend}  trials/replica={moved:.0f}")
+    if backend != "tpu":
+        print("NOTE: not on TPU — compiled==interpret trivially")
+    print("A/B:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

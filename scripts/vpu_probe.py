@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Measure the VPU ceiling for the LJ pair-eval op mix on the real chip.
+
+The sweep kernel's epilogue evaluates ~26 offsets x K candidates x 2
+configs of: diff(3) -> r2(5) -> sr2 = sig2/r2 -> sr6 -> e -> mask ->
+accumulate. This probe times synthetic Pallas kernels that run exactly
+that op mix over the same-shaped VMEM arrays, in variants, to find where
+cycles go (docs/tpu_notes.md section 5 follow-up):
+
+  div      — baseline: sig2 / r2 (what the kernel ships)
+  recip    — pl.reciprocal(r2, approx=True) * sig2 + 1 Newton step
+  recip0   — raw approx reciprocal, no Newton (accuracy floor ~2^-12)
+  rsqrt    — lax.rsqrt path (sr2 from rsqrt(r2)^2) for comparison
+  nodiv    — (σ²)³/(r²)³ via repeated multiply of reciprocal-free form:
+             evaluates e from u = r2 with Horner-in-1/u eliminated; here
+             we model cost with a 6th-power of (sig2 * rcp_est) where
+             rcp_est comes from one multiply (NOT numerically valid —
+             cost probe only)
+
+Each kernel does REPS sequential passes over a (ROWS, 128) f32 block and
+accumulates, so the measurement is issue-bound, not memory-bound.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+
+ROWS, LANES, REPS = 2048, 128, 64
+
+
+def make_kernel(variant: str):
+    def kernel(a_ref, b_ref, o_ref):
+        sig2 = jnp.float32(1.0)
+        rc2 = jnp.float32(6.25)
+
+        def body(i, acc):
+            # fresh "candidate minus mover" diffs (3 sub, 3 mul, 2 add)
+            d0 = a_ref[:] - b_ref[:] * (1.0 + 1e-6 * i)
+            d1 = a_ref[:] * 0.5 - b_ref[:]
+            d2 = a_ref[:] - 0.5 * b_ref[:]
+            r2 = d0 * d0 + d1 * d1 + d2 * d2
+            if variant == "div":
+                sr2 = sig2 / r2
+            elif variant == "recip":
+                y = pl.reciprocal(r2, approx=True)
+                y = y * (2.0 - r2 * y)          # 1 Newton: ~24-bit
+                sr2 = sig2 * y
+            elif variant == "recip0":
+                sr2 = sig2 * pl.reciprocal(r2, approx=True)
+            elif variant == "rsqrt":
+                y = jax.lax.rsqrt(r2)
+                sr2 = sig2 * y * y
+            elif variant == "nodiv":
+                sr2 = sig2 * (2.0 - r2)         # cost model only
+            else:
+                raise ValueError(variant)
+            sr6 = sr2 * sr2 * sr2
+            e = jnp.where(r2 < rc2, sr6 * sr6 - sr6, 0.0)
+            return acc + e
+
+        acc = jax.lax.fori_loop(0, REPS, body,
+                                jnp.zeros((ROWS, LANES), jnp.float32))
+        o_ref[:] = acc
+
+    return kernel
+
+
+def main():
+    dev = jax.devices()[0]
+    print("device:", dev)
+    a = jnp.asarray(np.random.RandomState(0).uniform(
+        1.0, 2.0, (ROWS, LANES)).astype(np.float32))
+    b = jnp.asarray(np.random.RandomState(1).uniform(
+        1.0, 2.0, (ROWS, LANES)).astype(np.float32))
+
+    results = {}
+    for variant in ("div", "recip", "recip0", "rsqrt", "nodiv"):
+        fn = pl.pallas_call(
+            make_kernel(variant),
+            out_shape=jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+        jfn = jax.jit(fn)
+        out = jfn(a, b)
+        _ = float(jnp.sum(out))        # readback: honest timing mode
+        t0 = time.perf_counter()
+        iters = 20
+        for _ in range(iters):
+            out = jfn(a, b)
+        _ = float(jnp.sum(out))
+        dt = (time.perf_counter() - t0) / iters
+        pairs = ROWS * LANES * REPS
+        ns = dt / pairs * 1e9
+        cyc = ns * 0.94e9 / 1e9 * 128 * 8 / (ROWS * LANES) * pairs / REPS
+        # cycles per pair-ROW (8x128 vector): dt * clock / (ROWS/8 * REPS)
+        cycles_row = dt * 0.94e9 / ((ROWS / 8) * REPS)
+        results[variant] = (dt * 1e3, ns, cycles_row)
+        print(f"{variant:7s} {dt*1e3:7.3f} ms/call  {ns:6.3f} ns/pair  "
+              f"{cycles_row:6.2f} cyc/(8x128 row)")
+    base = results["div"][0]
+    for k, v in results.items():
+        print(f"{k:7s} speedup vs div: {base / v[0]:.3f}x")
+
+
+if __name__ == "__main__":
+    main()
