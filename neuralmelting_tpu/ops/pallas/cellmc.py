@@ -98,7 +98,7 @@ class CellGeom:
         return self.ncells * self.kcap
 
 
-def make_geom(box0, rc: float, natoms: int, nsub: int = 8,
+def make_geom(box0, rc: float, natoms: int, nsub: int = 16,
               shrink_margin: float = 0.05, kcap: int = 0,
               stride: int = 2) -> CellGeom:
     """Pick the cell grid for initial box ``box0``: per axis the largest
@@ -129,13 +129,27 @@ def make_geom(box0, rc: float, natoms: int, nsub: int = 8,
         # DIAG_SLAB_OVERFLOW), so a tight cap fails loudly, not silently.
         kcap = int(np.ceil(mean + max(2.5 * np.sqrt(mean), 6.0)))
     kcap = max(kcap, nsub)
-    # divisible by J (slot groups) AND by 8 (the total kernels iterate
-    # mover slots in chunks of 8; a remainder would silently drop pairs
-    # from total energy/virial — ADVICE.md r2)
-    q = int(np.lcm(nsub, 8))
-    kcap = -(-kcap // q) * q
+    # divisible by 8: the total kernels iterate mover slots in chunks of
+    # 8; a remainder would silently drop pairs from total energy/virial
+    # (ADVICE.md r2). Consecutive-pick movers put no J constraint on K.
+    kcap = -(-kcap // 8) * 8
     return CellGeom(ncell=ncell, kcap=kcap, nsub=nsub, natoms=natoms,
                     stride=stride)
+
+
+def tight_kcap(maxcount: int, nsub: int = 8, margin: int = 12) -> int:
+    """Slot capacity from MEASURED occupancy: max cell count + margin,
+    rounded up to 8. Candidate work in the sweep kernel is linear in K
+    (27*K pair slots per trial), so a data-driven cap beats the analytic
+    density bound by ~20%; overflow is detected (DIAG_SLAB_OVERFLOW) and
+    the runner retries the chunk with K+8 (runner.run_sampling).
+
+    margin=12: measured at the bench config (NPT liquid lanes, 100
+    sweeps, 1024 replicas x 128 cells), max occupancy drifts ~+10 over
+    the initial max as boxes compress; margin 6 overflowed (diag=4),
+    12 has not. Overflow stays detected-and-retried either way."""
+    k = max(maxcount + margin, nsub, 8)
+    return -(-k // 8) * 8
 
 
 def geom_tables(geom: CellGeom):
@@ -490,19 +504,17 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
         oz_ref[:] = z_ref[:]
         st_ref[:] = jnp.zeros_like(st_ref)
 
-        def ljsum(r2, mask):
-            """masked sum of 4*(sr12 - sr6) over the K axis (axis=-2).
+        def eterm(r2):
+            """(sigma/r)^12 - (sigma/r)^6, zero beyond rc (pre-4x factor).
 
             Empty candidate slots self-mask: their coords are 1e30, so
-            r2 = inf fails the cutoff. Empty-vs-empty pairs (r2 = 0)
-            produce inf/NaN that only reach the dE of INVALID movers,
-            whose trials the acceptance mask already discards — so the
-            epilogue carries no explicit validity mask (measured ~6% of
-            the kernel's VPU work)."""
+            r2 = inf fails the cutoff. Degenerate pairs (r2 = 0: empty vs
+            empty, or a mover against its own slot) produce inf/NaN whose
+            cutoff compare is false -> 0, so the epilogue carries no
+            explicit validity mask (measured ~6% of the VPU work)."""
             sr2 = sig2 / r2
             sr6 = sr2 * sr2 * sr2
-            e = jnp.where(mask & (r2 < rc2), sr6 * sr6 - sr6, 0.0)
-            return 4.0 * jnp.sum(e, axis=-2)
+            return jnp.where(r2 < rc2, sr6 * sr6 - sr6, 0.0)
 
         def color_step(step):
             color = jax.lax.rem(step, ncolors)
@@ -532,23 +544,22 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             disp = [dpos * d.reshape(j, cw, rt)
                     for d in (sym16(b0, 0), sym16(b0, 16), sym16(b1, 0))]
 
-            # --- mover selection: J picks uniform over the cell's
-            # OCCUPIED slots (packed first), duplicates rejected so every
-            # trialed mover's cached color-step-start coords are fresh.
-            # Valid movers/cell ~ cnt*(1-(1-1/cnt)^J) ~ 7.1 at cnt=32,
-            # J=8 — vs ~cnt/K * J for the former slot-group scheme.
+            # --- mover selection: J CONSECUTIVE occupied slots starting at
+            # a random slot s0 per (cell, replica). All J movers distinct
+            # whenever cnt >= J (always at production occupancy ~32), so
+            # every pick is a valid trial — vs ~7.1/8 for i.i.d. picks with
+            # duplicate rejection. A state-independent scan order composed
+            # with per-move Metropolis updates leaves the target invariant
+            # (systematic-scan MC); s0 re-randomizes every color step.
             cnt_t = jnp.broadcast_to(cnt[None], (j, cw, rt))
-            upick = u_pick.reshape(j, cw, rt)
-            pick = jnp.minimum(
-                (upick * cnt_t.astype(jnp.float32)).astype(jnp.int32),
-                jnp.maximum(cnt_t - 1, 0))                   # slot in [0,K)
-            vrows = [cnt_t[0] > 0]
-            for a in range(1, j):
-                dup = pick[a] == pick[0]
-                for b in range(1, a):
-                    dup = dup | (pick[a] == pick[b])
-                vrows.append((cnt_t[a] > 0) & ~dup)
-            valid = jnp.stack(vrows)                         # (j, cw, rt)
+            u0 = u_pick.reshape(j, cw, rt)[0]                # (cw, rt)
+            s0 = jnp.minimum((u0 * cnt.astype(jnp.float32))
+                             .astype(jnp.int32),
+                             jnp.maximum(cnt - 1, 0))        # [0, cnt)
+            aio = row_iota((j, cw, rt), 0)
+            raw = s0[None] + aio                             # < 2*cnt
+            pick = jnp.where(raw >= cnt_t, raw - cnt_t, raw)
+            valid = aio < cnt_t                              # (j, cw, rt)
 
             # --- movers (state at color-step start; slots distinct) ------
             bx = ox_ref[pl.ds(base, blk)]
@@ -564,12 +575,25 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             m = [extract(bx), extract(by), extract(bz)]      # (j, cw, rt)
             mn = [m[a] + disp[a] for a in range(3)]
 
-            # --- static field: 26 other-color neighbor blocks ------------
+            # --- candidate field: 26 neighbor blocks + OWN cell ----------
+            # The own cell rides the same vectorized loop as offset
+            # (0,0,0): the mover's own slot self-masks (r2=0 -> NaN ->
+            # cutoff-compare false) in the OLD term and is masked
+            # explicitly in the NEW term; cell-mate movers enter at their
+            # COLOR-STEP-START positions and the sequential resolve below
+            # applies exact pairwise corrections for earlier-accepted
+            # movers. This replaces the former J sequential full-block
+            # reload/eval substeps (parallel-trial + pairwise-correction;
+            # measured ~1.2x at J=16). Per-pair e(new)-e(old) fuses into
+            # ONE reduce over the K axis (two reduces measured slower).
             de = jnp.zeros((j, cw, rt), jnp.float32)
-            for off in _offsets26():
-                cnd = [aligned_block(r, a, sbits, off, lvec)
-                       for a, r in enumerate((ox_ref, oy_ref, oz_ref))]
-                c4 = [c.reshape(1, cw, k, rt) for c in cnd]
+            for off in [(0, 0, 0)] + _offsets26():
+                if off == (0, 0, 0):
+                    c4 = [b.reshape(1, cw, k, rt) for b in (bx, by, bz)]
+                else:
+                    cnd = [aligned_block(r, a, sbits, off, lvec)
+                           for a, r in enumerate((ox_ref, oy_ref, oz_ref))]
+                    c4 = [c.reshape(1, cw, k, rt) for c in cnd]
 
                 def r2of(p):
                     d0 = c4[0] - p[0][:, :, None, :]
@@ -577,55 +601,66 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
                     d2 = c4[2] - p[2][:, :, None, :]
                     return d0 * d0 + d1 * d1 + d2 * d2
 
-                de = de + ljsum(r2of(mn), True) - ljsum(r2of(m), True)
+                diff = eterm(r2of(mn)) - eterm(r2of(m))
+                if off == (0, 0, 0):
+                    # the NEW term against the mover's own (old) slot row
+                    # is finite garbage — mask it; the OLD term self-masks
+                    diff = jnp.where(onehot, 0.0, diff)
+                de = de + 4.0 * jnp.sum(diff, axis=-2)
 
-            # --- sequential own-cell phase + acceptance ------------------
-            # full-cell coords of each cell row: 2*v + traced color bit
+            # --- in-cell confinement test --------------------------------
+            # full-cell coords of each cell row: stride*v + traced color bit
             crow = row_iota((cw, 1), 0)
             vxyz = [(crow // (strides[a] // k)) % half[a] for a in range(3)]
             cfull = [stride * vxyz[a] + sbits[a]
-                     for a in range(3)]                         # (cw, 1)
+                     for a in range(3)]                          # (cw, 1)
+            incell = valid                                       # (j,cw,rt)
+            for a in range(3):
+                lo_a = cfull[a].astype(jnp.float32) * wvec[a]    # (cw, rt)
+                incell = (incell & (mn[a] >= lo_a[None])
+                          & (mn[a] < (lo_a + wvec[a])[None]))
+            ln_u = jnp.log(u_acc.reshape(j, cw, rt))
 
-            for jj in range(j):
-                cx = ox_ref[pl.ds(base, blk)].reshape(cw, k, rt)
-                cy = oy_ref[pl.ds(base, blk)].reshape(cw, k, rt)
-                cz = oz_ref[pl.ds(base, blk)].reshape(cw, k, rt)
-                mj = [m[a][jj] for a in range(3)]            # (cw, rt)
-                nj = [mn[a][jj] for a in range(3)]
-                oh = onehot[jj]                              # (cw, k, rt)
+            def pair_e(p, i, q, l):
+                """4*eterm between mover i of list p and mover l of q."""
+                d0 = p[0][i] - q[0][l]
+                d1 = p[1][i] - q[1][l]
+                d2 = p[2][i] - q[2][l]
+                return 4.0 * eterm(d0 * d0 + d1 * d1 + d2 * d2)
 
-                def r2own(p):
-                    d0 = cx - p[0][:, None, :]
-                    d1 = cy - p[1][:, None, :]
-                    d2 = cz - p[2][:, None, :]
-                    return d0 * d0 + d1 * d1 + d2 * d2
-
-                ownv = ~oh & (cx < 0.1 * INVALID)
-                e_old = ljsum(r2own(mj), ownv)
-                e_new = ljsum(r2own(nj), ownv)
-                dej = de[jj] + e_new - e_old                 # (cw, rt)
-
-                incell = jnp.ones((cw, rt), jnp.bool_)
-                for a in range(3):
-                    lo_a = cfull[a].astype(jnp.float32) * wvec[a]
-                    incell &= (nj[a] >= lo_a) & (nj[a] < lo_a + wvec[a])
-                ln_u = jnp.log(u_acc.reshape(j, cw, rt)[jj])
-                acc = valid[jj] & incell & (ln_u < -beta * eps * dej)
-
-                accf = acc.astype(jnp.float32)
-                upd = [jnp.where(oh & acc[:, None, :],
-                                 disp[a][jj][:, None, :], 0.0)
-                       for a in range(3)]
-                ox_ref[pl.ds(base, blk)] = (cx + upd[0]).reshape(blk, rt)
-                oy_ref[pl.ds(base, blk)] = (cy + upd[1]).reshape(blk, rt)
-                oz_ref[pl.ds(base, blk)] = (cz + upd[2]).reshape(blk, rt)
-
-                st_ref[0:1] = st_ref[0:1] + jnp.sum(
+            # --- sequential resolve (registers only, no K-wide work) ----
+            # mover a's trial was evaluated with cell-mate b at its START
+            # position; if b (earlier in the scan) accepted, correct both
+            # the old and new terms of the (a, b) pair exactly.
+            accs, accf, de_acc = [], [], jnp.zeros((1, rt), jnp.float32)
+            nacc = jnp.zeros((1, rt), jnp.float32)
+            for ai in range(j):
+                dej = de[ai]
+                for bi in range(ai):
+                    corr = (pair_e(mn, ai, mn, bi) - pair_e(mn, ai, m, bi)
+                            - pair_e(m, ai, mn, bi) + pair_e(m, ai, m, bi))
+                    dej = dej + accf[bi] * corr
+                acc = incell[ai] & (ln_u[ai] < -beta * eps * dej)
+                accs.append(acc)
+                accf.append(acc.astype(jnp.float32))
+                de_acc = de_acc + jnp.sum(
                     jnp.where(acc, eps * dej, 0.0), axis=0, keepdims=True)
-                st_ref[1:2] = st_ref[1:2] + jnp.sum(
-                    accf, axis=0, keepdims=True)
-                st_ref[2:3] = st_ref[2:3] + jnp.sum(
-                    valid[jj].astype(jnp.float32), axis=0, keepdims=True)
+                nacc = nacc + jnp.sum(accf[ai], axis=0, keepdims=True)
+
+            # --- apply accepted displacements (one pass) -----------------
+            accj = jnp.stack(accs)                           # (j, cw, rt)
+            sel = onehot & accj[:, :, None, :]               # (j,cw,k,rt)
+            for a, (b, ref) in enumerate(((bx, ox_ref), (by, oy_ref),
+                                          (bz, oz_ref))):
+                upd = jnp.sum(jnp.where(sel, disp[a][:, :, None, :], 0.0),
+                              axis=0)                        # (cw, k, rt)
+                ref[pl.ds(base, blk)] = (b.reshape(cw, k, rt)
+                                         + upd).reshape(blk, rt)
+
+            st_ref[0:1] = st_ref[0:1] + de_acc
+            st_ref[1:2] = st_ref[1:2] + nacc
+            st_ref[2:3] = st_ref[2:3] + jnp.sum(
+                valid.astype(jnp.float32), axis=(0, 1))[None]
 
         def step_body(s, _):
             color_step(s)
@@ -636,7 +671,14 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
     def sweep(slabs, count, params, pot3, seeds):
         x, y, z = slabs
         rows, rp = x.shape
-        assert rp % rt == 0, rp
+        rpad = -rp % rt          # dead-lane padding: any replica count
+        if rpad:                 # runs (e.g. a 12x12 grid, R=144)
+            pc = lambda a, v: jnp.pad(a, ((0, 0), (0, rpad)),
+                                      constant_values=v)
+            x, y, z = pc(x, INVALID), pc(y, INVALID), pc(z, INVALID)
+            count = pc(count, 0)      # empty cells: no movers, no trials
+            params = pc(params, 1.0)
+        rp0, rp = rp, rp + rpad
         ntiles = rp // rt
         lane = lambda bs: pl.BlockSpec((bs, rt), lambda i: (0, i),
                                        memory_space=pltpu.VMEM)
@@ -658,6 +700,8 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(seeds, pot3, params, count, x, y, z)
+        if rpad:
+            return tuple(a[:, :rp0] for a in out[:3]), out[3][:, :rp0]
         return out[:3], out[3]
 
     return sweep
@@ -774,11 +818,18 @@ def make_total_fn(geom: CellGeom, interpret: bool = False, rt: int = RT):
     def total(slabs, params, pot3, scale):
         x, y, z = slabs
         rows, rp = x.shape
-        assert rp % rt == 0, rp
+        rpad = -rp % rt               # dead-lane padding (any R)
+        if rpad:
+            pc = lambda a, v: jnp.pad(a, ((0, 0), (0, rpad)),
+                                      constant_values=v)
+            x, y, z = pc(x, INVALID), pc(y, INVALID), pc(z, INVALID)
+            params = pc(params, 1.0)
+            scale = pc(scale, 1.0)
+        rp0, rp = rp, rp + rpad
         ntiles = rp // rt
         lane = lambda bs: pl.BlockSpec((bs, rt), lambda i: (0, i),
                                        memory_space=pltpu.VMEM)
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=(ntiles,),
             out_shape=jax.ShapeDtypeStruct((8, rp), jnp.float32),
@@ -793,6 +844,7 @@ def make_total_fn(geom: CellGeom, interpret: bool = False, rt: int = RT):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(pot3, params, scale, x, y, z)
+        return out[:, :rp0] if rpad else out
 
     return total
 

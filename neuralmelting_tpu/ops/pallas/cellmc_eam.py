@@ -280,7 +280,13 @@ def make_eam_sweep_fn(geom: CellGeom, ncyc: int, nser: tuple,
     def sweep(slabs4, count, params, scal, series3, seeds):
         x, y, z, rho = slabs4
         rows, rp = x.shape
-        assert rp % rt == 0, rp
+        rpad = -rp % rt               # dead-lane padding (any R)
+        if rpad:
+            pc = lambda a, v: jnp.pad(a, ((0, 0), (0, rpad)),
+                                      constant_values=v)
+            x, y, z = pc(x, INVALID), pc(y, INVALID), pc(z, INVALID)
+            rho, count, params = pc(rho, 0.0), pc(count, 0), pc(params, 1.0)
+        rp0, rp = rp, rp + rpad
         ntiles = rp // rt
         lane = lambda bs: pl.BlockSpec((bs, rt), lambda i: (0, i),
                                        memory_space=pltpu.VMEM)
@@ -300,6 +306,8 @@ def make_eam_sweep_fn(geom: CellGeom, ncyc: int, nser: tuple,
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(seeds, scal, series3[0], series3[1], series3[2],
           params, count, x, y, z, rho)
+        if rpad:
+            return tuple(a[:, :rp0] for a in out[:4]), out[4][:, :rp0]
         return out[:4], out[4]
 
     return sweep
@@ -493,7 +501,13 @@ def make_eam_total_fn(geom: CellGeom, nser: tuple, with_virial: bool,
     def total(slabs3, params, scal, series, scale):
         x, y, z = slabs3
         rows, rp = x.shape
-        assert rp % rt == 0, rp
+        rpad = -rp % rt               # dead-lane padding (any R)
+        if rpad:
+            pc = lambda a, v: jnp.pad(a, ((0, 0), (0, rpad)),
+                                      constant_values=v)
+            x, y, z = pc(x, INVALID), pc(y, INVALID), pc(z, INVALID)
+            params, scale = pc(params, 1.0), pc(scale, 1.0)
+        rp0, rp = rp, rp + rpad
         ntiles = rp // rt
         lane = lambda bs: pl.BlockSpec((bs, rt), lambda i: (0, i),
                                        memory_space=pltpu.VMEM)
@@ -512,6 +526,8 @@ def make_eam_total_fn(geom: CellGeom, nser: tuple, with_virial: bool,
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(scal, series[0], series[1], series[2], series[3], series[4],
           series[5], params, scale, x, y, z)
+        if rpad:
+            return st[:, :rp0], rho[:, :rp0]
         return st, rho
 
     return total

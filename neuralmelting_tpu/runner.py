@@ -89,6 +89,11 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
     only; ~7x faster on this TPU stack — sampler/dense.py)."""
     el = ELEMENTS[cfg.element]
     us = units.get(el.units)
+    if cfg.phmc > 0 and engine in ("dense", "cellmc"):
+        raise ValueError(
+            f"HMC (phmc={cfg.phmc}) is not offered on the '{engine}' "
+            "engine — use --engine gather (or serial), or drop --phmc. "
+            "Deliberate exclusion: README.md 'Known deviations'.")
     pot, style = build_potential(cfg, setfl)
     press, temp = grids(cfg)
     npress, ntemp = len(press), len(temp)
@@ -137,6 +142,13 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
         if style == "pair":
             geom = CMK.make_geom(box, pot.rc_host, n)
             slabs, slab_count, over = SC.build_slabs(geom, states, shift)
+            # tighten K to measured occupancy: sweep cost is linear in K;
+            # mid-run overflow is detected and retried (run_sampling)
+            kt = CMK.tight_kcap(int(jnp.max(slab_count)), geom.nsub)
+            if kt < geom.kcap:
+                geom = dataclasses.replace(geom, kcap=kt)
+                slabs, slab_count, over = SC.build_slabs(geom, states,
+                                                         shift)
             cell_tabs = jnp.asarray(CMK.geom_tables(geom))
             states = SC.refresh_energies(geom, states, slabs, pot)
         else:
@@ -146,6 +158,11 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
             cheb = ECH.from_spline(pot)
             geom = CMK.make_geom(box, cheb.rc_host, n, nsub=1, stride=3)
             slabs, slab_count, over = SC.build_slabs(geom, states, shift)
+            kt = CMK.tight_kcap(int(jnp.max(slab_count)), geom.nsub)
+            if kt < geom.kcap:
+                geom = dataclasses.replace(geom, kcap=kt)
+                slabs, slab_count, over = SC.build_slabs(geom, states,
+                                                         shift)
             scal, series, nser = SC.eam_pack(cheb)
             states, rho = SC.eam_initial_rho(geom, states, slabs, scal,
                                              series, nser)
@@ -219,6 +236,51 @@ def restore_setup(setup: RunSetup, checkpoint_path: str) -> RunSetup:
                                nls=nls, aux=aux, gms=gms, **extra)
 
 
+def _rebind_cellmc(setup: RunSetup, geom) -> RunSetup:
+    """Re-bin the CURRENT ensemble into slabs for a new cell geometry
+    (changed kcap and/or ncell). Off the hot path: runs at chunk
+    boundaries, where states.pos is synced and exact (sampler/cellmc.py
+    record contract). Grows kcap once more if the tightened guess still
+    overflows the true occupancy."""
+    shift = jnp.zeros((3,), jnp.float32)
+    slabs, slab_count, over = SC.build_slabs(geom, setup.states, shift)
+    if bool(over):
+        geom = dataclasses.replace(
+            geom, kcap=CMK.tight_kcap(int(jnp.max(slab_count)), geom.nsub))
+        slabs, slab_count, over = SC.build_slabs(geom, setup.states, shift)
+        if bool(over):
+            raise RuntimeError("cell slot overflow persists after rebuild")
+    if setup.style == "eam":
+        scal, series, nser = SC.eam_pack(setup.pot)
+        states, rho = SC.eam_initial_rho(geom, setup.states, slabs, scal,
+                                         series, nser)
+        slabs = slabs + (rho,)
+    else:
+        states = SC.refresh_energies(geom, setup.states, slabs, setup.pot)
+    return dataclasses.replace(
+        setup, geom=geom, slabs=slabs, slab_count=slab_count, shift=shift,
+        cell_tabs=jnp.asarray(CMK.geom_tables(geom)), states=states)
+
+
+def _refresh_cellmc_geom(setup: RunSetup) -> RunSetup:
+    """Pre-chunk geometry maintenance for long NPT runs: re-derive the
+    cell grid from the CURRENT per-replica boxes (a shrinking box must
+    not drive cell width below rc) and re-tighten the slot capacity to
+    measured occupancy (sweep cost is linear in K). A changed geom
+    re-specializes the jitted chunk — cached per geom, so equilibrated
+    runs settle into one compilation."""
+    g = setup.geom
+    minbox = np.asarray(jnp.min(setup.states.box, axis=0), np.float64)
+    ng = CMK.make_geom(minbox, setup.pot.rc_host, setup.natoms,
+                       nsub=g.nsub, stride=g.stride)
+    if ng.ncell != g.ncell:
+        return _rebind_cellmc(setup, ng)
+    kt = CMK.tight_kcap(int(jnp.max(setup.slab_count)), g.nsub)
+    if kt > g.kcap or kt <= g.kcap - 8:
+        return _rebind_cellmc(setup, dataclasses.replace(g, kcap=kt))
+    return setup
+
+
 def nvol_per_sweep(cfg: RunConfig, natoms: int) -> int:
     """Volume attempts per sweep from the reference's per-move probability,
     capped so full-energy recomputes don't dominate at large N."""
@@ -258,48 +320,62 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
 
     import time as _time
     _t0 = _time.time()
-    if setup.engine == "cellmc" and setup.style == "eam":
-        from neuralmelting_tpu.models import eam_cheb as ECH
-        cheb = setup.pot
-        scal, series, nser = SC.eam_pack(cheb)
-        key = ("eam", setup.geom, nser, cfg.mod, nrecords, nvol,
-               cfg.adapt_factor, npress, ntemp, write_traj,
-               cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
-        run = _cached_run_fn(key, lambda: SC.make_eam_run_fn(
-            setup.us.kb, setup.us.p2e, setup.geom, nser, mod=cfg.mod,
-            nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
-            nvol=nvol, factor=cfg.adapt_factor,
-            targets=(cfg.acc_target_pos, cfg.acc_target_vol,
-                     cfg.acc_target_hmc),
-            exchange=True, npress=npress, ntemp=ntemp,
-            write_traj=write_traj))
-        out = run(setup.states, setup.slabs, setup.slab_count, setup.shift,
-                  setup.slot_of, jax.random.key(cfg.seed + 1), scal,
-                  series, setup.cell_tabs, setup.t_grid, setup.p_grid,
-                  jnp.asarray([cfg.seed, cfg.seed + 7], jnp.int32))
-        (states, slabs, slab_count, shift, slot_of, recs, frames,
-         hist, xacc, diag) = out
-        nls, aux = setup.nls, setup.aux
-        setup = dataclasses.replace(setup, slabs=slabs,
-                                    slab_count=slab_count, shift=shift)
-    elif setup.engine == "cellmc":
-        key = ("cellmc", setup.geom, cfg.mod, nrecords, nvol,
-               cfg.adapt_factor, npress, ntemp, write_traj,
-               cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
-        run = _cached_run_fn(key, lambda: SC.make_cellmc_run_fn(
-            setup.us.kb, setup.us.p2e, setup.geom, mod=cfg.mod,
-            nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
-            nvol=nvol, factor=cfg.adapt_factor,
-            targets=(cfg.acc_target_pos, cfg.acc_target_vol,
-                     cfg.acc_target_hmc),
-            exchange=True, npress=npress, ntemp=ntemp,
-            write_traj=write_traj))
-        out = run(setup.states, setup.slabs, setup.slab_count, setup.shift,
-                  setup.slot_of, jax.random.key(cfg.seed + 1), setup.pot,
-                  setup.cell_tabs, setup.t_grid, setup.p_grid,
-                  jnp.asarray([cfg.seed, cfg.seed + 7], jnp.int32))
-        (states, slabs, slab_count, shift, slot_of, recs, frames,
-         hist, xacc, diag) = out
+    if setup.engine == "cellmc":
+        setup = _refresh_cellmc_geom(setup)
+        while True:
+            if setup.style == "eam":
+                scal, series, nser = SC.eam_pack(setup.pot)
+                key = ("eam", setup.geom, nser, cfg.mod, nrecords, nvol,
+                       cfg.adapt_factor, npress, ntemp, write_traj,
+                       cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
+                run = _cached_run_fn(key, lambda: SC.make_eam_run_fn(
+                    setup.us.kb, setup.us.p2e, setup.geom, nser,
+                    mod=cfg.mod, nrecords=nrecords,
+                    ncyc=SC.default_ncyc(setup.geom),
+                    nvol=nvol, factor=cfg.adapt_factor,
+                    targets=(cfg.acc_target_pos, cfg.acc_target_vol,
+                             cfg.acc_target_hmc),
+                    exchange=True, npress=npress, ntemp=ntemp,
+                    write_traj=write_traj))
+                out = run(setup.states, setup.slabs, setup.slab_count,
+                          setup.shift, setup.slot_of,
+                          jax.random.key(cfg.seed + 1), scal, series,
+                          setup.cell_tabs, setup.t_grid, setup.p_grid,
+                          jnp.asarray([cfg.seed, cfg.seed + 7], jnp.int32))
+            else:
+                key = ("cellmc", setup.geom, cfg.mod, nrecords, nvol,
+                       cfg.adapt_factor, npress, ntemp, write_traj,
+                       cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
+                run = _cached_run_fn(key, lambda: SC.make_cellmc_run_fn(
+                    setup.us.kb, setup.us.p2e, setup.geom, mod=cfg.mod,
+                    nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
+                    nvol=nvol, factor=cfg.adapt_factor,
+                    targets=(cfg.acc_target_pos, cfg.acc_target_vol,
+                             cfg.acc_target_hmc),
+                    exchange=True, npress=npress, ntemp=ntemp,
+                    write_traj=write_traj))
+                out = run(setup.states, setup.slabs, setup.slab_count,
+                          setup.shift, setup.slot_of,
+                          jax.random.key(cfg.seed + 1), setup.pot,
+                          setup.cell_tabs, setup.t_grid, setup.p_grid,
+                          jnp.asarray([cfg.seed, cfg.seed + 7], jnp.int32))
+            (states, slabs, slab_count, shift, slot_of, recs, frames,
+             hist, xacc, diag) = out
+            if (int(diag) & SC.DIAG_SLAB_OVERFLOW
+                    and setup.geom.kcap < 96):
+                # a cell outgrew its slots mid-chunk: the chunk's outputs
+                # dropped atoms and are invalid. Rebuild from the intact
+                # PRE-chunk state with more slots and rerun.
+                import warnings
+                warnings.warn(
+                    f"cell slot overflow at kcap={setup.geom.kcap}: "
+                    f"retrying chunk with kcap={setup.geom.kcap + 8}",
+                    RuntimeWarning, stacklevel=2)
+                setup = _rebind_cellmc(
+                    setup, dataclasses.replace(
+                        setup.geom, kcap=setup.geom.kcap + 8))
+                continue
+            break
         nls, aux = setup.nls, setup.aux
         setup = dataclasses.replace(setup, slabs=slabs,
                                     slab_count=slab_count, shift=shift)

@@ -49,21 +49,19 @@ DIAG_SLAB_OVERFLOW = 4       # a cell exceeded its K slot capacity
 def default_ncyc(geom) -> int:
     """Checkerboard cycles per sweep so attempted moves ~= natoms.
 
-    Attempts per cycle ~ 0.85 * ncells * nsub: distinct-pick mover
-    selection trials ~cnt*(1-(1-1/cnt)^J) movers per cell per color step
-    (~0.89*J at cnt=32, J=8, less at lower occupancy)."""
-    per_cycle = 0.85 * geom.ncells * geom.nsub
+    Attempts per cycle ~ ncells * nsub: consecutive-pick mover selection
+    trials min(cnt, J) distinct movers per cell per color step — J
+    whenever occupancy >= J (always at production occupancy ~32)."""
+    per_cycle = geom.ncells * geom.nsub
     return max(1, int(round(geom.natoms / per_cycle)))
 
 
 def pick_rt(r: int) -> int:
-    """Lane-tile width for R replicas (kernel grid = R/rt programs)."""
-    if r <= 128:
-        return r
-    if r % 128:
-        raise ValueError(f"replica count {r} > 128 must be a multiple "
-                         "of 128 for the cell-MC kernel lane tiling")
-    return 128
+    """Lane-tile width for R replicas (kernel grid = ceil(R/rt) programs;
+    a non-multiple R — e.g. a 12x12 grid, R=144 — runs with the last tile
+    lane-padded by the kernel wrappers: dead lanes carry INVALID coords
+    and zero counts, so they trial nothing)."""
+    return r if r <= 128 else 128
 
 
 def build_slabs(geom, states, shift):
@@ -127,7 +125,7 @@ def make_cellmc_run_fn(kb, p2e, geom, mod: int, nrecords: int,
         return (CM.make_sweep_fn(geom, ncyc=ncyc, interpret=interpret,
                                  rt=rtt),
                 CM.make_total_fn(geom, interpret=interpret, rt=rtt),
-                r // rtt)
+                -(-r // rtt))   # ceil: last tile lane-padded
 
     def params_of(states):
         wvec = jnp.stack([states.box[:, 0] / nxf, states.box[:, 1] / nyf,
@@ -424,7 +422,7 @@ def make_eam_run_fn(kb, p2e, geom, nser, mod: int, nrecords: int,
                                      interpret=interpret, rt=rtt),
                 CE.make_eam_total_fn(geom, nser, with_virial=False,
                                      interpret=interpret, rt=rtt),
-                r // rtt)
+                -(-r // rtt))   # ceil: last tile lane-padded
 
     def params_of(states):
         wvec = jnp.stack([states.box[:, 0] / nxf, states.box[:, 1] / nyf,

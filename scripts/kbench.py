@@ -26,10 +26,12 @@ NCYC = 5
 R = 128
 
 
-def bench_kcap(kcap: int):
+def bench_kcap(spec: str):
+    kcap, _, nsub = spec.partition(":")
+    kcap, nsub = int(kcap), int(nsub or 8)
     pot = LJCut.create()
     pos, box = make_supercell("fcc", 2.0 ** (2 / 3), (16, 8, 8))  # 4096
-    geom = CM.make_geom(box, pot.rc_host, len(pos), nsub=8, kcap=kcap)
+    geom = CM.make_geom(box, pot.rc_host, len(pos), nsub=nsub, kcap=kcap)
     states = ensemble_init(pot, jnp.asarray(pos), jnp.asarray(box), 3,
                            jnp.linspace(0.7, 1.3, R).astype(jnp.float32),
                            jnp.full((R,), 4.0, jnp.float32),
@@ -75,11 +77,11 @@ def bench_kcap(kcap: int):
 
 
 def main():
-    kcaps = [int(a) for a in sys.argv[1:]] or [48, 40]
+    kcaps = sys.argv[1:] or ["48", "40"]
     rates = {k: bench_kcap(k) for k in kcaps}
     base = rates[kcaps[0]]
     for k, v in rates.items():
-        print(f"kcap={k}: {v / base:.3f}x vs kcap={kcaps[0]}")
+        print(f"{k}: {v / base:.3f}x vs {kcaps[0]}")
 
 
 if __name__ == "__main__":

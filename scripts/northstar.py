@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""North-star end-to-end demo (BASELINE.json): 32x32 (P,T) grid of
+4096-atom LJ NPT MC — full pipeline sampling -> RDF -> classifier ->
+T_m(P) ON THE CHIP, with the melting temperature at P*=1 checked against
+the CPU-anchored small-scale value (docs/VALIDATION.md: 0.780, lit band
+0.77-0.80) and the (P,T)-points/hour figure recorded (BASELINE.md row 2).
+
+Chunked sampling keeps trajectory frames out of HBM: equilibration runs
+traj-free; each sampling chunk emits ONE record's frames (1024 x 4096 x 3
+= 50 MB), which are featurized to g(r) on device and discarded.
+
+Usage: python scripts/northstar.py [--fast]   (--fast: tiny smoke config)
+Writes northstar_result.json next to this script's invocation dir.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from neuralmelting_tpu import runner
+from neuralmelting_tpu.config import RunConfig
+from neuralmelting_tpu.features import rdf_frames, structure_factor
+from neuralmelting_tpu.neural import get_scaler, PhaseCNN, train_classifier
+from neuralmelting_tpu.neural.train import extreme_t_labels
+from neuralmelting_tpu.neural.melt import melting_curve
+from neuralmelting_tpu.pipeline import slot_order_features
+
+FAST = "--fast" in sys.argv
+
+
+def main():
+    npress, ntemp = (4, 8) if FAST else (32, 32)
+    ncells = (4, 4, 4) if FAST else (16, 8, 8)
+    eq_chunks = 2 if FAST else 30          # x mod sweeps each
+    samp_chunks = 3 if FAST else 20
+    nbins = 64
+    cfg = RunConfig(
+        name="northstar", element="LJ", ncells=ncells,
+        npress=npress, ntemp=ntemp,
+        press=tuple(float(p) for p in np.linspace(1.0, 8.0, npress)),
+        temp=tuple(float(t) for t in np.linspace(0.55, 1.55, ntemp)),
+        nsmpl=1, mod=20, ncut=0, seed=7, dpos0=0.11, dvol0=0.004)
+    r = npress * ntemp
+
+    t_start = time.perf_counter()
+    setup = runner.setup_run(cfg, engine="cellmc")
+    natoms = setup.natoms
+    box0 = np.asarray(setup.states.box[0])
+    rmax = 0.48 * float(box0.min())
+
+    # --- equilibrate (no traj, 20 sweeps per chunk) ---------------------
+    ntp0 = jnp.sum(setup.states.ntp) + jnp.sum(setup.states.ntv)
+    diag_any = 0
+    for i in range(eq_chunks):
+        setup, recs, frames, hist, xacc, diag = runner.run_sampling(
+            setup, write_files=False, write_traj=False)
+        diag_any |= int(diag)
+        if i % 10 == 0:
+            print(f"eq chunk {i}: pe/N="
+                  f"{float(jnp.mean(recs.pe[-1]))/natoms:.3f} "
+                  f"diag={int(diag)}", file=sys.stderr)
+    t_eq = time.perf_counter()
+
+    # --- sample + featurize per chunk (frames never accumulate) --------
+    g_sum = jnp.zeros((r, nbins), jnp.float32)
+    box_sum = jnp.zeros((r, 3), jnp.float32)
+    for i in range(samp_chunks):
+        setup, recs, frames, hist, xacc, diag = runner.run_sampling(
+            setup, write_files=False, write_traj=True)
+        diag_any |= int(diag)
+        pos, boxes = frames                    # (1, R, N, 3), (1, R, 3)
+        g = rdf_frames(pos[0], boxes[0], nbins, rmax)      # (R, nbins)
+        g_slot = slot_order_features(np.asarray(g)[None], hist)[0]
+        b_slot = slot_order_features(np.asarray(boxes), hist)[0]
+        g_sum = g_sum + jnp.asarray(g_slot)
+        box_sum = box_sum + jnp.asarray(b_slot)
+    feats = g_sum / samp_chunks                              # (R, nbins)
+    box_mean = box_sum / samp_chunks
+    t_samp = time.perf_counter()
+    attempts = int(jnp.sum(setup.states.ntp) + jnp.sum(setup.states.ntv)
+                   - ntp0)
+
+    # --- classifier (extreme-T labels) + T_m fit ------------------------
+    q, sq = structure_factor(feats, box_mean, natoms, rmax)
+    sc = get_scaler("tanh")
+    x = sc.fit_transform(feats)
+    band = max(1, ntemp // 8)
+    mask1, labels1 = extreme_t_labels(ntemp, band)
+    res = train_classifier(PhaseCNN(), x, jnp.tile(mask1, npress),
+                           jnp.tile(labels1, npress), jax.random.key(3),
+                           epochs=400, lr=2e-3)
+    probs = np.asarray(res.probs).reshape(npress, ntemp)
+    tms, widths = melting_curve(setup.temp, probs)
+    t_end = time.perf_counter()
+
+    hours = (t_end - t_start) / 3600.0
+    points_per_hour = r / hours
+    press = np.asarray(setup.press)
+    tm_p1 = float(tms[0])                     # P*=1.0 is grid point 0
+    anchor = 0.780                            # CPU-anchored small-scale
+    err_p1 = abs(tm_p1 / anchor - 1.0)
+    out = {
+        "grid": [npress, ntemp], "natoms": natoms,
+        "sweeps_total": int(setup.states.sweep[0]),
+        "attempted_moves": attempts,
+        "diag": diag_any,
+        "eq_seconds": round(t_eq - t_start, 1),
+        "sample_seconds": round(t_samp - t_eq, 1),
+        "total_seconds": round(t_end - t_start, 1),
+        "moves_per_sec_sampling_phase": attempts / (t_samp - t_start),
+        "points_per_hour": points_per_hour,
+        "tm_by_pressure": {f"{press[i]:.3f}": float(tms[i])
+                           for i in range(npress)},
+        "tm_p1": tm_p1, "tm_p1_anchor": anchor,
+        "tm_p1_rel_err": err_p1,
+        "pass_2pct": bool(err_p1 <= 0.02),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out, indent=1))
+    with open("northstar_result.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

