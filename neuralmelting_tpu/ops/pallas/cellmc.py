@@ -508,13 +508,31 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             """(sigma/r)^12 - (sigma/r)^6, zero beyond rc (pre-4x factor).
 
             Empty candidate slots self-mask: their coords are 1e30, so
-            r2 = inf fails the cutoff. Degenerate pairs (r2 = 0: empty vs
-            empty, or a mover against its own slot) produce inf/NaN whose
-            cutoff compare is false -> 0, so the epilogue carries no
-            explicit validity mask (measured ~6% of the VPU work)."""
+            r2 = inf fails the cutoff. A mover against its OWN slot
+            (r2 = 0 exactly) selects NaN here — callers mask that single
+            slot explicitly (onehot); no other validity mask is carried
+            (measured ~6% of the VPU work)."""
             sr2 = sig2 / r2
             sr6 = sr2 * sr2 * sr2
             return jnp.where(r2 < rc2, sr6 * sr6 - sr6, 0.0)
+
+        def ediff(r2n, r2o):
+            """eterm(r2n) - eterm(r2o) with ONE divide: f32 division is
+            the most expensive VPU op in the epilogue, and the candidate
+            loop needs the new- and old-position terms of every pair, so
+            share the reciprocal: q = sig2^2/(r2n*r2o), sr2_new = q*r2o,
+            sr2_old = q*r2n. Degenerate inputs (0 or inf from empty
+            slots / self pairs) propagate NaN into BOTH sides, and every
+            such slot is already excluded by the cutoff compare or the
+            caller's onehot mask, exactly as for eterm."""
+            q = (sig2 * sig2) / (r2n * r2o)
+            s2n = q * r2o
+            s2o = q * r2n
+            s6n = s2n * s2n * s2n
+            s6o = s2o * s2o * s2o
+            en = jnp.where(r2n < rc2, s6n * s6n - s6n, 0.0)
+            eo = jnp.where(r2o < rc2, s6o * s6o - s6o, 0.0)
+            return en - eo
 
         def color_step(step):
             color = jax.lax.rem(step, ncolors)
@@ -601,10 +619,10 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
                     d2 = c4[2] - p[2][:, :, None, :]
                     return d0 * d0 + d1 * d1 + d2 * d2
 
-                diff = eterm(r2of(mn)) - eterm(r2of(m))
+                diff = ediff(r2of(mn), r2of(m))
                 if off == (0, 0, 0):
-                    # the NEW term against the mover's own (old) slot row
-                    # is finite garbage — mask it; the OLD term self-masks
+                    # the pair against the mover's own (old) slot row is
+                    # NaN (r2_old = 0 exactly) — mask that single slot
                     diff = jnp.where(onehot, 0.0, diff)
                 de = de + 4.0 * jnp.sum(diff, axis=-2)
 

@@ -65,14 +65,25 @@ def main():
         sums = jax.jit(total)((xs, ys, zs), params, pot3, scale)
         outs[mode] = tuple(np.asarray(a) for a in (xs, ys, zs, st, sums))
 
+    # Pass criteria: the SWEEP kernel (the physics path — every accept/
+    # reject decision and position update) must be BITWISE identical:
+    # its per-pair arithmetic and in-kernel threefry are evaluated in an
+    # identical order in both lowerings. The TOTAL kernel's outputs are
+    # f32 sums over ~1e5 pair terms whose reduction TREE differs between
+    # Mosaic and XLA:TPU; reassociation rounding gives ~1e-6 relative
+    # differences that say nothing about correctness (measured 1.2e-2 on
+    # |pe|~1e4 sums, r3) — those are gated at rtol=1e-5 instead.
     names = ("x", "y", "z", "sweep-stats", "total-sums")
     ok = True
     for name, a, b in zip(names, outs[False], outs[True]):
-        same = np.array_equal(a, b)
+        if name == "total-sums":
+            same = bool(np.allclose(a, b, rtol=1e-5, atol=1e-3))
+        else:
+            same = np.array_equal(a, b)
         ok &= same
-        diff = 0.0 if same else float(np.max(np.abs(a - b)))
-        print(f"{name:12s} bitwise-equal={same}"
-              + ("" if same else f"  max|diff|={diff:.3e}"))
+        diff = float(np.max(np.abs(a - b))) if a.size else 0.0
+        kind = "close" if name == "total-sums" else "bitwise-equal"
+        print(f"{name:12s} {kind}={same}  max|diff|={diff:.3e}")
     moved = float(np.mean(outs[False][3][2]))
     print(f"backend={backend}  trials/replica={moved:.0f}")
     if backend != "tpu":
