@@ -92,6 +92,31 @@ def main():
     attempted = int(jnp.sum(setup.states.ntp - ntp_a)
                     + jnp.sum(setup.states.ntv - ntv_a))
     rate = attempted / (t2 - t1)
+
+    # companion rows recorded by scripts/northstar.py (end-to-end
+    # pipeline at this scale: (P,T)-points/hour + melt-T check) and
+    # scripts/eambench.py (EAM-Al engine) — merged so BENCH_r*.json
+    # carries them; reproduce via those scripts.
+    extra = {}
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname, keys in (
+            ("northstar_result.json", ("points_per_hour", "tm_p1",
+                                       "tm_p1_rel_err", "pass_2pct",
+                                       "diag", "total_seconds")),
+            ("eambench_result.json", ("eam_moves_per_sec", "eam_natoms",
+                                      "eam_diag", "sweep_tm_K",
+                                      "sweep_points_per_hour"))):
+        for d in (here, os.getcwd()):
+            p = os.path.join(d, fname)
+            if os.path.exists(p):
+                with open(p) as f:
+                    rec = json.load(f)
+                tag = fname.split("_")[0]
+                extra.update({f"{tag}.{k}": rec[k]
+                              for k in keys if k in rec})
+                break
+
     print(json.dumps({
         "metric": "mc_attempted_moves_per_sec_per_chip",
         "value": rate,
@@ -107,6 +132,7 @@ def main():
             "diag": diag_v,
             "engine": "cellmc-pallas",
             "device": str(jax.devices()[0]),
+            **extra,
         },
     }))
 

@@ -716,7 +716,7 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             input_output_aliases={4: 0, 5: 1, 6: 2},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=112 * 1024 * 1024),
         )(seeds, pot3, params, count, x, y, z)
         if rpad:
             return tuple(a[:, :rp0] for a in out[:3]), out[3][:, :rp0]
@@ -860,7 +860,7 @@ def make_total_fn(geom: CellGeom, interpret: bool = False, rt: int = RT):
             out_specs=lane(8),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=112 * 1024 * 1024),
         )(pot3, params, scale, x, y, z)
         return out[:, :rp0] if rpad else out
 

@@ -303,7 +303,7 @@ def make_eam_sweep_fn(geom: CellGeom, ncyc: int, nser: tuple,
             input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=112 * 1024 * 1024),
         )(seeds, scal, series3[0], series3[1], series3[2],
           params, count, x, y, z, rho)
         if rpad:
@@ -523,7 +523,7 @@ def make_eam_total_fn(geom: CellGeom, nser: tuple, with_virial: bool,
             out_specs=(lane(8), lane(rows), lane(rows)),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=112 * 1024 * 1024),
         )(scal, series[0], series[1], series[2], series[3], series[4],
           series[5], params, scale, x, y, z)
         if rpad:

@@ -213,27 +213,15 @@ def restore_setup(setup: RunSetup, checkpoint_path: str) -> RunSetup:
     if setup.engine == "dense":
         gms = DS.build_ensemble_ghosts(states, setup.shell, setup.gcap)
     extra = {}
+    setup = dataclasses.replace(setup, states=states, slot_of=slot_of,
+                                nls=nls, aux=aux, gms=gms)
     if setup.engine == "cellmc":
-        shift = jnp.zeros((3,), jnp.float32)
-        slabs, slab_count, over = SC.build_slabs(setup.geom, states, shift)
-        if bool(over):
-            # mirror setup_run: silently clipping a cell to kcap slots
-            # would drop atoms from the restored configuration
-            raise RuntimeError(
-                "cell slot capacity overflow while restoring checkpoint "
-                "(NPT-compressed boxes exceed kcap); rebuild the geometry "
-                "with a larger kcap")
-        if setup.style == "eam":
-            scal, series, nser = SC.eam_pack(setup.pot)
-            states, rho = SC.eam_initial_rho(setup.geom, states, slabs,
-                                             scal, series, nser)
-            slabs = slabs + (rho,)
-        else:
-            states = SC.refresh_energies(setup.geom, states, slabs,
-                                         setup.pot)
-        extra = dict(slabs=slabs, slab_count=slab_count, shift=shift)
-    return dataclasses.replace(setup, states=states, slot_of=slot_of,
-                               nls=nls, aux=aux, gms=gms, **extra)
+        # rebin the restored ensemble; a checkpoint whose NPT-compressed
+        # boxes exceed the current kcap (silently clipping would drop
+        # atoms) is absorbed by _rebind_cellmc's grow-and-retry, which
+        # raises if capacity can't be found
+        setup = _rebind_cellmc(setup, setup.geom)
+    return setup
 
 
 def _rebind_cellmc(setup: RunSetup, geom) -> RunSetup:
@@ -243,6 +231,12 @@ def _rebind_cellmc(setup: RunSetup, geom) -> RunSetup:
     record contract). Grows kcap once more if the tightened guess still
     overflows the true occupancy."""
     shift = jnp.zeros((3,), jnp.float32)
+    if geom.kcap >= 72 and geom.nsub > 8:
+        # scoped-VMEM guard: sweep-kernel temporaries scale with J*K;
+        # at K>=72, J=16 exceeds the 112 MB Mosaic scoped-vmem budget
+        # (measured OOM at K=64/100MB, 106.7 MB needed). J=8 halves the
+        # candidate temporaries; throughput per attempt is K-bound anyway.
+        geom = dataclasses.replace(geom, nsub=8)
     slabs, slab_count, over = SC.build_slabs(geom, setup.states, shift)
     if bool(over):
         geom = dataclasses.replace(
@@ -275,8 +269,15 @@ def _refresh_cellmc_geom(setup: RunSetup) -> RunSetup:
                        nsub=g.nsub, stride=g.stride)
     if ng.ncell != g.ncell:
         return _rebind_cellmc(setup, ng)
-    kt = CMK.tight_kcap(int(jnp.max(setup.slab_count)), g.nsub)
-    if kt > g.kcap or kt <= g.kcap - 8:
+    # kcap hysteresis: every kcap change re-jits the whole chunk fn
+    # (~minutes at production scale), so act only when occupancy is
+    # within 4 slots of overflowing (grow) or the tight cap is a full
+    # 16 slots below the current one (shrink). Equilibrated NPT max
+    # counts wander by a few atoms chunk-to-chunk; a plain
+    # tight_kcap != kcap test flaps 48<->56 and recompiles every chunk.
+    maxcount = int(jnp.max(setup.slab_count))
+    kt = CMK.tight_kcap(maxcount, g.nsub)
+    if maxcount > g.kcap - 4 or kt <= g.kcap - 16:
         return _rebind_cellmc(setup, dataclasses.replace(g, kcap=kt))
     return setup
 

@@ -48,7 +48,11 @@ def main():
     cfg = RunConfig(
         name="northstar", element="LJ", ncells=ncells,
         npress=npress, ntemp=ntemp,
-        press=tuple(float(p) for p in np.linspace(1.0, 8.0, npress)),
+        # P* in [1, 5]: the literature-anchored melting range this repo
+        # validated at small scale (docs/VALIDATION.md: T_m(1)=0.78,
+        # T_m(5)=1.09); higher P compresses cells past kcap~64 and the
+        # sweep kernel's candidate work grows linearly with K.
+        press=tuple(float(p) for p in np.linspace(1.0, 5.0, npress)),
         temp=tuple(float(t) for t in np.linspace(0.55, 1.55, ntemp)),
         nsmpl=1, mod=20, ncut=0, seed=7, dpos0=0.11, dvol0=0.004)
     r = npress * ntemp
