@@ -47,6 +47,38 @@ def make_kernel(variant: str):
             d1 = a_ref[:] * 0.5 - b_ref[:]
             d2 = a_ref[:] - 0.5 * b_ref[:]
             r2 = d0 * d0 + d1 * d1 + d2 * d2
+            if variant == "fma_peak":
+                # issue-rate ceiling: same op COUNT as nothing — a pure
+                # fma chain of the same length as one r2 eval (6 ops)
+                return acc + r2
+            if variant.startswith("pair_"):
+                # the REAL sweep epilogue: TWO configs per pair (old +
+                # displaced mover), fused e(new)-e(old). Mirrors
+                # ops/pallas/cellmc.py ediff()/r2of() exactly.
+                dd = 0.01 * b_ref[:]
+                if variant == "pair_incr":
+                    # r2_new from r2_old incrementally: the mover's
+                    # displacement D is shared by all K candidates, so
+                    # r2n = r2o - d.(2D) + |D|^2 (5 ops vs 8 fresh)
+                    dot = d0 * dd + d1 * dd + d2 * dd
+                    r2n = r2 - (dot + dot) + 3.0 * (dd * dd)
+                else:
+                    e0 = d0 - dd
+                    e1 = d1 - dd
+                    e2 = d2 - dd
+                    r2n = e0 * e0 + e1 * e1 + e2 * e2
+                if variant == "pair_recip":
+                    y = pl.reciprocal(r2n * r2, approx=True)
+                    q = (sig2 * sig2) * y
+                else:
+                    q = (sig2 * sig2) / (r2n * r2)
+                s2n = q * r2
+                s2o = q * r2n
+                s6n = s2n * s2n * s2n
+                s6o = s2o * s2o * s2o
+                en = jnp.where(r2n < rc2, s6n * s6n - s6n, 0.0)
+                eo = jnp.where(r2 < rc2, s6o * s6o - s6o, 0.0)
+                return acc + (en - eo)
             if variant == "div":
                 sr2 = sig2 / r2
             elif variant == "recip":
@@ -82,7 +114,8 @@ def main():
         1.0, 2.0, (ROWS, LANES)).astype(np.float32))
 
     results = {}
-    for variant in ("div", "recip", "recip0", "rsqrt", "nodiv"):
+    for variant in ("div", "recip", "recip0", "rsqrt", "nodiv", "fma_peak",
+                    "pair_div", "pair_fresh", "pair_incr", "pair_recip"):
         fn = pl.pallas_call(
             make_kernel(variant),
             out_shape=jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32),
@@ -90,6 +123,7 @@ def main():
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=jax.default_backend() != "tpu",
         )
         jfn = jax.jit(fn)
         out = jfn(a, b)
