@@ -1,0 +1,91 @@
+"""Unit tests for the runner's cellmc geometry maintenance: kcap
+hysteresis (no recompile flap), overflow-grow on rebind, and atom
+conservation through a forced rebin (runner.py `_refresh_cellmc_geom`
+/ `_rebind_cellmc`; VERDICT r2 weak #6 follow-up, ADVICE r2 #4).
+
+Spec parity: the reference had no equivalent — LAMMPS owned neighbor
+binning (SURVEY.md section 2.1); these guard the TPU-native slab
+machinery that replaces it.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralmelting_tpu import runner
+from neuralmelting_tpu.config import RunConfig
+from neuralmelting_tpu.ops.pallas import cellmc as CMK
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    cfg = RunConfig(name="geomtest", element="LJ", ncells=(4, 4, 4),
+                    npress=1, ntemp=2, press=(1.0,), temp=(0.8, 1.2),
+                    nsmpl=1, mod=2, seed=3, dpos0=0.1, dvol0=0.01)
+    return runner.setup_run(cfg, engine="cellmc")
+
+
+def _count_rebinds(monkeypatch):
+    calls = []
+    orig = runner._rebind_cellmc
+
+    def spy(setup, geom):
+        calls.append(geom)
+        return orig(setup, geom)
+
+    monkeypatch.setattr(runner, "_rebind_cellmc", spy)
+    return calls
+
+
+def test_kcap_hysteresis_holds_in_band(small_setup, monkeypatch):
+    """Occupancy comfortably inside (kcap-16, kcap-4] must NOT rebind —
+    a plain tight_kcap != kcap test recompiles every chunk."""
+    setup = small_setup
+    calls = _count_rebinds(monkeypatch)
+    g = setup.geom
+    mid = g.kcap - 8                      # inside the dead band
+    fake = dataclasses.replace(
+        setup, slab_count=jnp.minimum(setup.slab_count, 0) + mid)
+    out = runner._refresh_cellmc_geom(fake)
+    assert calls == []
+    assert out.geom.kcap == g.kcap
+
+
+def test_kcap_grows_near_overflow(small_setup, monkeypatch):
+    """Max occupancy within 4 slots of kcap must grow capacity."""
+    setup = small_setup
+    calls = _count_rebinds(monkeypatch)
+    g = setup.geom
+    near = g.kcap - 2
+    fake = dataclasses.replace(
+        setup,
+        slab_count=setup.slab_count.at[0, 0].set(near))
+    out = runner._refresh_cellmc_geom(fake)
+    assert len(calls) == 1
+    assert out.geom.kcap >= CMK.tight_kcap(near, g.nsub) or \
+        out.geom.kcap > g.kcap - 4  # grown (or regrown from true occupancy)
+
+
+def test_rebind_overflow_grows_and_conserves_atoms(small_setup):
+    """A rebind into a too-small kcap must grow-and-retry (never drop
+    atoms silently) — the restore_setup path rides this (ADVICE r2 #4)."""
+    setup = small_setup
+    tiny = dataclasses.replace(setup.geom, kcap=8)
+    out = runner._rebind_cellmc(setup, tiny)
+    # per-replica atom totals preserved exactly
+    per_rep = np.asarray(jnp.sum(out.slab_count, axis=1))
+    assert (per_rep == setup.natoms).all()
+    assert int(jnp.max(out.slab_count)) <= out.geom.kcap
+    # energies refreshed for the new slabs: finite and matching shape
+    assert np.isfinite(np.asarray(out.states.pe)).all()
+
+
+def test_scoped_vmem_guard_drops_nsub(small_setup):
+    """kcap >= 72 with nsub 16 exceeds the Mosaic scoped-VMEM budget;
+    the rebind guard must halve the mover groups."""
+    setup = small_setup
+    big = dataclasses.replace(setup.geom, kcap=72, nsub=16)
+    out = runner._rebind_cellmc(setup, big)
+    assert out.geom.nsub == 8
