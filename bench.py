@@ -106,7 +106,8 @@ def main():
                                        "diag", "total_seconds")),
             ("eambench_result.json", ("eam_moves_per_sec", "eam_natoms",
                                       "eam_diag", "sweep_tm_K",
-                                      "sweep_points_per_hour"))):
+                                      "sweep_points_per_hour")),
+            ("ab_result.json", ("ab_pass",))):
         for d in (here, os.getcwd()):
             p = os.path.join(d, fname)
             if os.path.exists(p):

@@ -89,6 +89,12 @@ def main():
     if backend != "tpu":
         print("NOTE: not on TPU — compiled==interpret trivially")
     print("A/B:", "PASS" if ok else "FAIL")
+    if backend == "tpu":        # recorded mechanically; bench.py merges it
+        import json
+
+        with open("ab_result.json", "w") as f:
+            json.dump({"ab_pass": bool(ok), "ab_backend": backend,
+                       "ab_trials_per_replica": moved}, f)
     return 0 if ok else 1
 
 
