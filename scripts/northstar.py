@@ -64,7 +64,6 @@ def main():
     rmax = 0.48 * float(box0.min())
 
     # --- equilibrate (no traj, 20 sweeps per chunk) ---------------------
-    ntp0 = jnp.sum(setup.states.ntp) + jnp.sum(setup.states.ntv)
     diag_any = 0
     for i in range(eq_chunks):
         setup, recs, frames, hist, xacc, diag = runner.run_sampling(
@@ -92,8 +91,19 @@ def main():
     feats = g_sum / samp_chunks                              # (R, nbins)
     box_mean = box_sum / samp_chunks
     t_samp = time.perf_counter()
-    attempts = int(jnp.sum(setup.states.ntp) + jnp.sum(setup.states.ntv)
-                   - ntp0)
+    # NOMINAL attempts: adaptation resets the live ntp/ntv counters at
+    # every record, so a counter diff reads ~0 here (bench.py measures
+    # the exact figure with adapt off). Position trials per sweep per
+    # replica = ncyc * ncolors * cells-per-color * J movers; volume
+    # trials add nvol every vol_every sweeps (sampler/cellmc.py).
+    g = setup.geom
+    ncolors = g.stride ** 3
+    from neuralmelting_tpu.sampler import cellmc as SCmod
+    ncyc = SCmod.default_ncyc(g)
+    sweeps = int(setup.states.sweep[0])
+    attempts = int(r * sweeps
+                   * (ncyc * ncolors * (g.ncells // ncolors) * g.nsub
+                      + runner.nvol_per_sweep(cfg, natoms) / 4))
 
     # --- classifier (extreme-T labels) + T_m fit ------------------------
     q, sq = structure_factor(feats, box_mean, natoms, rmax)
@@ -117,12 +127,12 @@ def main():
     out = {
         "grid": [npress, ntemp], "natoms": natoms,
         "sweeps_total": int(setup.states.sweep[0]),
-        "attempted_moves": attempts,
+        "attempted_moves_nominal": attempts,
         "diag": diag_any,
         "eq_seconds": round(t_eq - t_start, 1),
         "sample_seconds": round(t_samp - t_eq, 1),
         "total_seconds": round(t_end - t_start, 1),
-        "moves_per_sec_sampling_phase": attempts / (t_samp - t_start),
+        "moves_per_sec_nominal": attempts / (t_samp - t_start),
         "points_per_hour": points_per_hour,
         "tm_by_pressure": {f"{press[i]:.3f}": float(tms[i])
                            for i in range(npress)},
