@@ -458,7 +458,7 @@ def _block_utils(geom: CellGeom, rt: int):
 
 
 def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
-                  rt: int = RT):
+                  rt: int = RT, fast_recip: bool = False):
     """Build ``sweep(slabs, count, params, pot3, seeds) -> (slabs, stats)``.
 
     slabs: (x, y, z) each (C*K, Rp) f32, Rp a multiple of RT (or == the
@@ -524,8 +524,22 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             sr2_old = q*r2n. Degenerate inputs (0 or inf from empty
             slots / self pairs) propagate NaN into BOTH sides, and every
             such slot is already excluded by the cutoff compare or the
-            caller's onehot mask, exactly as for eterm."""
-            q = (sig2 * sig2) / (r2n * r2o)
+            caller's onehot mask, exactly as for eterm.
+
+            fast_recip swaps the divide for Mosaic's approximate
+            reciprocal plus ONE Newton step (~1 ulp f32 — the raw
+            approximation's 2^-12 error would couple the new/old terms
+            at a level that breaks cycle consistency of the effective
+            energy). Flag-gated: flips compiled-vs-interpret parity
+            from bitwise to ~1 ulp, so scripts/ab_interpret.py keeps
+            the exact-divide path."""
+            d = r2n * r2o
+            if fast_recip:
+                y = pl.reciprocal(d, approx=True)
+                y = y * (2.0 - d * y)
+                q = (sig2 * sig2) * y
+            else:
+                q = (sig2 * sig2) / d
             s2n = q * r2o
             s2o = q * r2n
             s6n = s2n * s2n * s2n

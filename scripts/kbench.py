@@ -27,8 +27,11 @@ R = 128
 
 
 def bench_kcap(spec: str):
-    kcap, _, nsub = spec.partition(":")
+    # "K", "K:J", or "K:J:r" (r = fast_recip epilogue)
+    kcap, _, rest = spec.partition(":")
+    nsub, _, flag = rest.partition(":")
     kcap, nsub = int(kcap), int(nsub or 8)
+    fast_recip = flag == "r"
     pot = LJCut.create()
     pos, box = make_supercell("fcc", 2.0 ** (2 / 3), (16, 8, 8))  # 4096
     geom = CM.make_geom(box, pot.rc_host, len(pos), nsub=nsub, kcap=kcap)
@@ -52,7 +55,7 @@ def bench_kcap(spec: str):
     pot3 = jnp.stack([pot.eps, pot.sigma, pot.rc, jnp.zeros_like(pot.eps)])
 
     sweep = jax.jit(CM.make_sweep_fn(geom, ncyc=NCYC, interpret=False,
-                                     rt=R))
+                                     rt=R, fast_recip=fast_recip))
     t0 = time.perf_counter()
     slabs = (x.T, y.T, z.T)
     seeds = jnp.asarray([[3, 9]], jnp.int32)
