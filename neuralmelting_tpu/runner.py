@@ -344,13 +344,16 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                           setup.cell_tabs, setup.t_grid, setup.p_grid,
                           jnp.asarray([cfg.seed, cfg.seed + 7], jnp.int32))
             else:
+                # NM_FAST_RECIP=1: approx-reciprocal+Newton epilogue
+                # (ops/pallas/cellmc.py ediff) for on-chip A/B runs
+                fr = os.environ.get("NM_FAST_RECIP", "") == "1"
                 key = ("cellmc", setup.geom, cfg.mod, nrecords, nvol,
-                       cfg.adapt_factor, npress, ntemp, write_traj,
+                       cfg.adapt_factor, npress, ntemp, write_traj, fr,
                        cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
                 run = _cached_run_fn(key, lambda: SC.make_cellmc_run_fn(
                     setup.us.kb, setup.us.p2e, setup.geom, mod=cfg.mod,
                     nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
-                    nvol=nvol, factor=cfg.adapt_factor,
+                    nvol=nvol, factor=cfg.adapt_factor, fast_recip=fr,
                     targets=(cfg.acc_target_pos, cfg.acc_target_vol,
                              cfg.acc_target_hmc),
                     exchange=True, npress=npress, ntemp=ntemp,

@@ -80,7 +80,8 @@ def make_cellmc_run_fn(kb, p2e, geom, mod: int, nrecords: int,
                        npress: int = 0, ntemp: int = 0, rt: int = 0,
                        interpret=None, adapt: bool = True,
                        jit: bool = True, vol_every: int = 1,
-                       rebin_every: int = 1, axis_name=None):
+                       rebin_every: int = 1, axis_name=None,
+                       fast_recip: bool = False):
     """Build the jitted chunk runner.
 
     Without exchange:
@@ -123,7 +124,7 @@ def make_cellmc_run_fn(kb, p2e, geom, mod: int, nrecords: int,
     def get_kernels(r):
         rtt = rt or pick_rt(r)
         return (CM.make_sweep_fn(geom, ncyc=ncyc, interpret=interpret,
-                                 rt=rtt),
+                                 rt=rtt, fast_recip=fast_recip),
                 CM.make_total_fn(geom, interpret=interpret, rt=rtt),
                 -(-r // rtt))   # ceil: last tile lane-padded
 
