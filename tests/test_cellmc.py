@@ -92,8 +92,10 @@ def test_rebin_axis_preserves_atoms():
     assert (np.diff(occ, axis=1) <= 0).all()
 
 
-@pytest.mark.parametrize("ncells,ncyc", [((4, 4, 4), 2), ((6, 6, 6), 1)])
-def test_sweep_pe_identity_and_confinement(ncells, ncyc):
+@pytest.mark.parametrize("ncells,ncyc,fast_recip",
+                         [((4, 4, 4), 2, False), ((6, 6, 6), 1, False),
+                          ((4, 4, 4), 2, True)])
+def test_sweep_pe_identity_and_confinement(ncells, ncyc, fast_recip):
     """pe bookkeeping == brute force, and atoms never leave their cells.
 
     (6,6,6) exercises the real roll/wrap paths (within-color grid 3^3);
@@ -112,7 +114,8 @@ def test_sweep_pe_identity_and_confinement(ncells, ncyc):
     pot3 = jnp.asarray([1.0, 1.0, 2.5, 0.0], jnp.float32)
     seeds = jnp.asarray([[99, 100]], jnp.int32)
     t = lambda s: jnp.transpose(jnp.broadcast_to(s[None], (r,) + s.shape))
-    sweep = CM.make_sweep_fn(geom, ncyc=ncyc, interpret=True, rt=r)
+    sweep = CM.make_sweep_fn(geom, ncyc=ncyc, interpret=True, rt=r,
+                             fast_recip=fast_recip)
     (ox, oy, oz), stats = sweep((t(x), t(y), t(z)), t(count),
                                 params, pot3, seeds)
     e0, _ = EN.pair_energy_virial(pot, pos, box)
