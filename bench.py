@@ -42,6 +42,19 @@ SWEEPS_PER_CHUNK = 20
 
 
 def main():
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        # axon tunnel down (port 8082 refused -> claim UNAVAILABLE):
+        # emit a self-explaining record instead of a traceback so the
+        # round still gets a BENCH json (docs/tpu_notes.md; memory:
+        # axon-tpu-tunnel-outages)
+        print(json.dumps({
+            "metric": "mc_attempted_moves_per_sec_per_chip",
+            "value": 0, "unit": "moves/sec/chip", "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {e}",
+        }))
+        return
     cfg = RunConfig(
         name="bench", element="LJ", ncells=(16, 8, 8),   # 4096 atoms
         npress=32, ntemp=32,                              # north-star grid
