@@ -55,6 +55,8 @@ def main():
             "error": f"TPU backend unavailable: {e}",
         }))
         return
+    import os
+    fast_recip = os.environ.get("NM_FAST_RECIP", "") == "1"
     cfg = RunConfig(
         name="bench", element="LJ", ncells=(16, 8, 8),   # 4096 atoms
         npress=32, ntemp=32,                              # north-star grid
@@ -73,7 +75,7 @@ def main():
         # docstring; the reference's pvol~0.03 move mix attempts volume
         # trials even less often per position trial)
         exchange=True, npress=npress, ntemp=ntemp,
-        adapt=False, write_traj=False)
+        adapt=False, write_traj=False, fast_recip=fast_recip)
     seed0 = jnp.asarray([cfg.seed, cfg.seed + 7], jnp.int32)
 
     def chunk(setup):
@@ -145,6 +147,7 @@ def main():
             "sweeps_total": int(setup.states.sweep[0]),
             "diag": diag_v,
             "engine": "cellmc-pallas",
+            "fast_recip": fast_recip,
             "device": str(jax.devices()[0]),
             **extra,
         },
