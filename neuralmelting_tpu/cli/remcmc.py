@@ -33,7 +33,17 @@ def main(argv=None):
                     help="capture a jax.profiler trace of the sampling "
                          "chunk into DIR (open with xprof/tensorboard; "
                          "kernel-level time attribution - SURVEY.md §5)")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="multi-host runs: JAX multi-controller "
+                         "coordinator address (launch one process per "
+                         "host with --nprocs/--procid; replicas shard "
+                         "over the global device mesh, process 0 writes)")
+    ap.add_argument("--nprocs", type=int, default=None)
+    ap.add_argument("--procid", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.coordinator:
+        from neuralmelting_tpu.parallel.mesh import init_multihost
+        init_multihost(args.coordinator, args.nprocs, args.procid)
     cfg = config_from_args(args)
 
     t0 = time.time()

@@ -39,3 +39,34 @@ def shard_ensemble(mesh: Mesh, states, nls=None):
 
 def replicate(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def init_multihost(coordinator: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Join the JAX multi-controller runtime (one process per host, DCN
+    coordination — SURVEY.md §2.3: the reference's dask Client/LocalCluster
+    equivalent is the standard JAX distributed runtime, no custom comm
+    backend). No-op when ``coordinator`` is None (single-process run).
+
+    Call BEFORE any other jax use; afterwards ``jax.devices()`` is global
+    and ``make_replica_mesh()`` spans every host's chips, so the same
+    NamedSharding program scales out with zero further changes. Output
+    writing is process-0-gated in runner.run_sampling via host_fetch().
+    """
+    if coordinator is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def host_fetch(tree):
+    """Make every leaf fully addressable on this host: identity in
+    single-process runs; a DCN all-gather of the replica-sharded arrays
+    (jax.experimental.multihost_utils) under the multi-controller
+    runtime, so record/frame writers see the whole ensemble."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(tree, tiled=True)

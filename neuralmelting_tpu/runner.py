@@ -445,12 +445,25 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
     setup = dataclasses.replace(setup, states=states, nls=nls, aux=aux,
                                 slot_of=slot_of)
 
-    if write_files and outdir is not None:
+    ck_states, ck_slots = states, slot_of
+    if jax.process_count() > 1:
+        # multi-controller runs (parallel/mesh.init_multihost): gather the
+        # replica-sharded outputs over DCN — a COLLECTIVE, so every
+        # process participates — then only process 0 touches the
+        # filesystem
+        from neuralmelting_tpu.parallel.mesh import host_fetch
+        recs, frames, hist, xacc = host_fetch((recs, frames, hist, xacc))
+        if checkpoint_path:
+            ck_states, ck_slots = host_fetch((states, slot_of))
+        is_writer = jax.process_index() == 0
+    else:
+        is_writer = True
+    if write_files and outdir is not None and is_writer:
         os.makedirs(outdir, exist_ok=True)
         write_slot_files(cfg, outdir, recs, frames, hist,
                          npress, ntemp, setup.natoms)
-    if checkpoint_path:
-        ckpt.save(checkpoint_path, states, slot_of, cfg.to_json())
+    if checkpoint_path and is_writer:
+        ckpt.save(checkpoint_path, ck_states, ck_slots, cfg.to_json())
     return setup, recs, frames, hist, xacc, diag
 
 
