@@ -118,7 +118,8 @@ def main():
     for fname, keys in (
             ("northstar_result.json", ("points_per_hour", "tm_p1",
                                        "tm_p1_rel_err", "pass_2pct",
-                                       "diag", "total_seconds")),
+                                       "diag", "total_seconds",
+                                       "feature_train_seconds")),
             ("eambench_result.json", ("eam_moves_per_sec", "eam_natoms",
                                       "eam_diag", "sweep_tm_K",
                                       "sweep_points_per_hour")),

@@ -56,14 +56,17 @@ def main():
     seeds = jnp.asarray([[77, 3]], jnp.int32)
     scale = jnp.full((1, r), 0.99, jnp.float32)
 
-    outs = {}
-    for mode in (False, True):
+    on_tpu = backend == "tpu"
+    outs = []
+    # off-TPU, interpret=False cannot lower; run interpret twice so the
+    # script's plumbing stays smoke-testable (trivially equal)
+    for mode in ((False, True) if on_tpu else (True, True)):
         sweep = CM.make_sweep_fn(geom, ncyc=2, interpret=mode, rt=r)
         total = CM.make_total_fn(geom, interpret=mode, rt=r)
         (xs, ys, zs), st = jax.jit(sweep)(
             (x.T, y.T, z.T), count.T, params, pot3, seeds)
         sums = jax.jit(total)((xs, ys, zs), params, pot3, scale)
-        outs[mode] = tuple(np.asarray(a) for a in (xs, ys, zs, st, sums))
+        outs.append(tuple(np.asarray(a) for a in (xs, ys, zs, st, sums)))
 
     # Pass criteria: the SWEEP kernel (the physics path — every accept/
     # reject decision and position update) must be BITWISE identical:
@@ -75,7 +78,7 @@ def main():
     # |pe|~1e4 sums, r3) — those are gated at rtol=1e-5 instead.
     names = ("x", "y", "z", "sweep-stats", "total-sums")
     ok = True
-    for name, a, b in zip(names, outs[False], outs[True]):
+    for name, a, b in zip(names, outs[0], outs[1]):
         if name == "total-sums":
             same = bool(np.allclose(a, b, rtol=1e-5, atol=1e-3))
         else:
@@ -84,16 +87,44 @@ def main():
         diff = float(np.max(np.abs(a - b))) if a.size else 0.0
         kind = "close" if name == "total-sums" else "bitwise-equal"
         print(f"{name:12s} {kind}={same}  max|diff|={diff:.3e}")
-    moved = float(np.mean(outs[False][3][2]))
+    moved = float(np.mean(outs[0][3][2]))
     print(f"backend={backend}  trials/replica={moved:.0f}")
     if backend != "tpu":
         print("NOTE: not on TPU — compiled==interpret trivially")
+
+    # --- fast_recip pe-identity ON THE COMPILED LOWERING ---------------
+    # The approx-reciprocal epilogue flips occasional near-threshold
+    # accepts vs the exact divide (expected; chains diverge chaotically),
+    # so it cannot be gated bitwise. What MUST hold for the fast path to
+    # be trustworthy: the kernel's own accumulated pe deltas (st[0])
+    # match an exact total-kernel recompute of E(after) - E(before) on
+    # the same device — wrong reciprocals, dropped pairs, or a broken
+    # Newton step all break this identity.
+    sweep_fr = CM.make_sweep_fn(geom, ncyc=2, interpret=not on_tpu, rt=r,
+                                fast_recip=True)
+    total_c = CM.make_total_fn(geom, interpret=not on_tpu, rt=r)
+    ones = jnp.ones((1, r), jnp.float32)
+    e0 = np.asarray(jax.jit(total_c)((x.T, y.T, z.T), params, pot3, ones))
+    (xf, yf, zf), stf = jax.jit(sweep_fr)(
+        (x.T, y.T, z.T), count.T, params, pot3, seeds)
+    e1 = np.asarray(jax.jit(total_c)((xf, yf, zf), params, pot3, ones))
+    eps_np = float(np.asarray(pot.eps))
+    de_total = eps_np * ((e1[0] - e1[1]) - (e0[0] - e0[1]))
+    de_kernel = np.asarray(stf[0])
+    # gate: real breakage (wrong reciprocal, dropped pairs) shows as O(1+)
+    # absolute errors; f32 accumulation noise measured 3e-2 in interpret
+    fr_ok = bool(np.allclose(de_total, de_kernel, rtol=1e-3, atol=0.15))
+    print(f"fast_recip pe-identity (compiled): {fr_ok}  "
+          f"max|diff|={float(np.max(np.abs(de_total - de_kernel))):.3e}")
+    ok &= fr_ok
+
     print("A/B:", "PASS" if ok else "FAIL")
     if backend == "tpu":        # recorded mechanically; bench.py merges it
         import json
 
         with open("ab_result.json", "w") as f:
             json.dump({"ab_pass": bool(ok), "ab_backend": backend,
+                       "ab_fast_recip_pe_identity": fr_ok,
                        "ab_trials_per_replica": moved}, f)
     return 0 if ok else 1
 

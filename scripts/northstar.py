@@ -131,6 +131,8 @@ def main():
         "diag": diag_any,
         "eq_seconds": round(t_eq - t_start, 1),
         "sample_seconds": round(t_samp - t_eq, 1),
+        # BASELINE config 4: on-device S(q)+scaler+CNN train+T_m fit time
+        "feature_train_seconds": round(t_end - t_samp, 1),
         "total_seconds": round(t_end - t_start, 1),
         "moves_per_sec_nominal": attempts / (t_samp - t_start),
         "points_per_hour": points_per_hour,

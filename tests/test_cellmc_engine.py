@@ -108,6 +108,45 @@ def test_cellmc_equilibrium_matches_serial_chain():
                                    rtol=5e-4, atol=0.05)
 
 
+def test_cellmc_npt_virial_pressure_consistency():
+    """Thermodynamic consistency (SURVEY.md §4.2 'EOS points'): in NPT
+    the mechanical pressure must reproduce the imposed P. For the
+    TRUNCATED (unshifted) LJ the pair-virial estimator misses the
+    impulsive term from the energy step at rc, so
+
+        P_imposed = <(N kT + W/3)/V> + (2 pi/3) rho^2 rc^3 g(rc) u(rc)
+
+    (u(rc) < 0). At T*=0.7, P*=2.0 the correction is ~ -0.65 while the
+    raw estimator reads ~2.73 — a sign error, wrong factor, or broken
+    volume acceptance in ANY of the virial kernel / volume move / RDF
+    normalization moves the closed sum far outside the gate. Calibrated:
+    residual 0.08 at these settings (sem ~0.07)."""
+    from neuralmelting_tpu.features import rdf_frames
+
+    pot = LJCut.create()
+    pos, box = make_supercell("fcc", 2.0 ** (2 / 3), 4)   # 256 atoms
+    n = len(pos)
+    t, p = 0.7, 2.0
+    states, recs, diag = _cellmc_run(
+        pot, pos, box, [t] * 8, [p] * 8, mod=5, nrecords=50, ncyc=2,
+        nvol=1, seed=21, dpos0=0.1, dvol0=0.01)
+    assert diag == 0
+    w = np.asarray(recs.virial)[15:]
+    v = np.asarray(recs.vol)[15:]
+    p_vir = ((n * t + w / 3.0) / v).mean()
+    assert p_vir > p + 0.4, (p_vir, "impulsive gap vanished?")
+
+    rc = float(pot.rc_host)
+    nbins, rmax = 100, rc + 0.1
+    g = np.asarray(rdf_frames(states.pos, states.box, nbins, rmax))
+    centers = (np.arange(nbins) + 0.5) * (rmax / nbins)
+    g_rc = g[:, (centers > rc - 0.08) & (centers < rc)].mean()
+    rho = n / v.mean()
+    u_rc = 4.0 * ((1.0 / rc) ** 12 - (1.0 / rc) ** 6)
+    p_delta = (2.0 * np.pi / 3.0) * rho ** 2 * rc ** 3 * g_rc * u_rc
+    assert abs(p_vir + p_delta - p) < 0.3, (p_vir, p_delta)
+
+
 def test_cellmc_runner_with_exchange():
     """cellmc engine through the production runner incl. tempering
     (mirror of test_dense_runner_with_exchange)."""
