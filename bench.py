@@ -132,6 +132,10 @@ def main():
                 tag = fname.split("_")[0]
                 extra.update({f"{tag}.{k}": rec[k]
                               for k in keys if k in rec})
+                # companion files persist across reruns: stamp their age
+                # so a stale row is never mistaken for a fresh one
+                extra[f"{tag}.age_hours"] = round(
+                    (time.time() - os.path.getmtime(p)) / 3600.0, 2)
                 break
 
     print(json.dumps({

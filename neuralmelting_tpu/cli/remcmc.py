@@ -36,8 +36,12 @@ def main(argv=None):
     ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                     help="multi-host runs: JAX multi-controller "
                          "coordinator address (launch one process per "
-                         "host with --nprocs/--procid; replicas shard "
-                         "over the global device mesh, process 0 writes)")
+                         "host with --nprocs/--procid). Process 0 writes "
+                         "all outputs. NOTE: the CLI path currently "
+                         "replicates the ensemble per process (correct, "
+                         "redundant); shard over the global mesh via "
+                         "parallel/mesh.shard_ensemble + "
+                         "parallel/cellmc_sharded for actual scale-out")
     ap.add_argument("--nprocs", type=int, default=None)
     ap.add_argument("--procid", type=int, default=None)
     args = ap.parse_args(argv)

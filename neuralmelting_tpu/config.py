@@ -95,6 +95,13 @@ class RunConfig:
     acc_target_vol: float = 0.5
     acc_target_hmc: float = 0.5
     adapt_factor: float = 1.0625
+    # cellmc engine schedules (sampler/cellmc.py): run the nvol volume
+    # trials (a full-energy pass each) every vol_every-th sweep and the
+    # grid-shift rebin sort every rebin_every-th — valid deterministic
+    # Markov schedules; the reference's pvol~0.03 mix attempts volume
+    # trials even less often per position trial at N=4096
+    vol_every: int = 4
+    rebin_every: int = 2
     # neighbor list
     skin: float = 0.4
     max_neighbors: int = 0   # 0 -> auto

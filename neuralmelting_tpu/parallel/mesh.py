@@ -63,10 +63,21 @@ def init_multihost(coordinator: str | None = None,
 
 def host_fetch(tree):
     """Make every leaf fully addressable on this host: identity in
-    single-process runs; a DCN all-gather of the replica-sharded arrays
-    (jax.experimental.multihost_utils) under the multi-controller
-    runtime, so record/frame writers see the whole ensemble."""
+    single-process runs; under the multi-controller runtime, a DCN
+    all-gather (jax.experimental.multihost_utils) of exactly the leaves
+    that are GLOBALLY sharded, so record/frame writers see the whole
+    ensemble. Leaves that are already fully addressable (process-local
+    or replicated arrays) pass through untouched — all-gathering those
+    would CONCATENATE duplicate copies and corrupt the output shapes."""
     if jax.process_count() == 1:
         return tree
     from jax.experimental import multihost_utils
-    return multihost_utils.process_allgather(tree, tiled=True)
+
+    def fetch(x):
+        if x is None or getattr(x, "is_fully_addressable", True):
+            return x
+        return multihost_utils.process_allgather(x, tiled=True)
+
+    # one collective per sharded leaf; every process traverses the same
+    # tree structure, so the collective order matches across processes
+    return jax.tree.map(fetch, tree)

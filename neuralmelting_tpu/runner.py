@@ -149,6 +149,7 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
                 geom = dataclasses.replace(geom, kcap=kt)
                 slabs, slab_count, over = SC.build_slabs(geom, states,
                                                          shift)
+            geom = _vmem_guard_geom(geom)
             cell_tabs = jnp.asarray(CMK.geom_tables(geom))
             states = SC.refresh_energies(geom, states, slabs, pot)
         else:
@@ -224,6 +225,18 @@ def restore_setup(setup: RunSetup, checkpoint_path: str) -> RunSetup:
     return setup
 
 
+def _vmem_guard_geom(geom):
+    """Scoped-VMEM guard: sweep-kernel temporaries scale with J*K; at
+    K>=72, J=16 exceeds the 112 MB Mosaic scoped-vmem budget (measured
+    OOM at K=64/100MB, 106.7 MB needed). J=8 halves the candidate
+    temporaries; throughput per attempt is K-bound anyway. Applied on
+    BOTH geometry paths — fresh setup_run and mid-run rebinds — so a
+    high-occupancy run can never launch a J=16, K>=72 kernel."""
+    if geom.kcap >= 72 and geom.nsub > 8:
+        geom = dataclasses.replace(geom, nsub=8)
+    return geom
+
+
 def _rebind_cellmc(setup: RunSetup, geom) -> RunSetup:
     """Re-bin the CURRENT ensemble into slabs for a new cell geometry
     (changed kcap and/or ncell). Off the hot path: runs at chunk
@@ -231,12 +244,7 @@ def _rebind_cellmc(setup: RunSetup, geom) -> RunSetup:
     record contract). Grows kcap once more if the tightened guess still
     overflows the true occupancy."""
     shift = jnp.zeros((3,), jnp.float32)
-    if geom.kcap >= 72 and geom.nsub > 8:
-        # scoped-VMEM guard: sweep-kernel temporaries scale with J*K;
-        # at K>=72, J=16 exceeds the 112 MB Mosaic scoped-vmem budget
-        # (measured OOM at K=64/100MB, 106.7 MB needed). J=8 halves the
-        # candidate temporaries; throughput per attempt is K-bound anyway.
-        geom = dataclasses.replace(geom, nsub=8)
+    geom = _vmem_guard_geom(geom)
     slabs, slab_count, over = SC.build_slabs(geom, setup.states, shift)
     if bool(over):
         geom = dataclasses.replace(
@@ -328,12 +336,14 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                 scal, series, nser = SC.eam_pack(setup.pot)
                 key = ("eam", setup.geom, nser, cfg.mod, nrecords, nvol,
                        cfg.adapt_factor, npress, ntemp, write_traj,
+                       cfg.vol_every, cfg.rebin_every,
                        cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
                 run = _cached_run_fn(key, lambda: SC.make_eam_run_fn(
                     setup.us.kb, setup.us.p2e, setup.geom, nser,
                     mod=cfg.mod, nrecords=nrecords,
                     ncyc=SC.default_ncyc(setup.geom),
                     nvol=nvol, factor=cfg.adapt_factor,
+                    vol_every=cfg.vol_every, rebin_every=cfg.rebin_every,
                     targets=(cfg.acc_target_pos, cfg.acc_target_vol,
                              cfg.acc_target_hmc),
                     exchange=True, npress=npress, ntemp=ntemp,
@@ -349,11 +359,13 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                 fr = os.environ.get("NM_FAST_RECIP", "") == "1"
                 key = ("cellmc", setup.geom, cfg.mod, nrecords, nvol,
                        cfg.adapt_factor, npress, ntemp, write_traj, fr,
+                       cfg.vol_every, cfg.rebin_every,
                        cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
                 run = _cached_run_fn(key, lambda: SC.make_cellmc_run_fn(
                     setup.us.kb, setup.us.p2e, setup.geom, mod=cfg.mod,
                     nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
                     nvol=nvol, factor=cfg.adapt_factor, fast_recip=fr,
+                    vol_every=cfg.vol_every, rebin_every=cfg.rebin_every,
                     targets=(cfg.acc_target_pos, cfg.acc_target_vol,
                              cfg.acc_target_hmc),
                     exchange=True, npress=npress, ntemp=ntemp,
@@ -365,11 +377,18 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                           jnp.asarray([cfg.seed, cfg.seed + 7], jnp.int32))
             (states, slabs, slab_count, shift, slot_of, recs, frames,
              hist, xacc, diag) = out
-            if (int(diag) & SC.DIAG_SLAB_OVERFLOW
-                    and setup.geom.kcap < 96):
+            if int(diag) & SC.DIAG_SLAB_OVERFLOW:
                 # a cell outgrew its slots mid-chunk: the chunk's outputs
                 # dropped atoms and are invalid. Rebuild from the intact
-                # PRE-chunk state with more slots and rerun.
+                # PRE-chunk state with more slots and rerun — NEVER
+                # commit the truncated ensemble as ongoing state.
+                if setup.geom.kcap >= 96:
+                    raise RuntimeError(
+                        f"cell slot overflow persists at kcap="
+                        f"{setup.geom.kcap}: a cell packed >96 atoms — "
+                        "the chunk outputs dropped atoms and cannot be "
+                        "used; the cell geometry no longer fits this "
+                        "density (shrink ncells or raise pressure grid)")
                 import warnings
                 warnings.warn(
                     f"cell slot overflow at kcap={setup.geom.kcap}: "

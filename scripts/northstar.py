@@ -103,7 +103,8 @@ def main():
     sweeps = int(setup.states.sweep[0])
     attempts = int(r * sweeps
                    * (ncyc * ncolors * (g.ncells // ncolors) * g.nsub
-                      + runner.nvol_per_sweep(cfg, natoms) / 4))
+                      + runner.nvol_per_sweep(cfg, natoms)
+                      / cfg.vol_every))
 
     # --- classifier (extreme-T labels) + T_m fit ------------------------
     q, sq = structure_factor(feats, box_mean, natoms, rmax)

@@ -114,8 +114,10 @@ def main():
         1.0, 2.0, (ROWS, LANES)).astype(np.float32))
 
     results = {}
+    # pair_div = as-shipped epilogue (fresh r2 + one divide) and is the
+    # baseline the incr/recip variants are judged against
     for variant in ("div", "recip", "recip0", "rsqrt", "nodiv", "fma_peak",
-                    "pair_div", "pair_fresh", "pair_incr", "pair_recip"):
+                    "pair_div", "pair_incr", "pair_recip"):
         fn = pl.pallas_call(
             make_kernel(variant),
             out_shape=jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32),
@@ -136,7 +138,6 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         pairs = ROWS * LANES * REPS
         ns = dt / pairs * 1e9
-        cyc = ns * 0.94e9 / 1e9 * 128 * 8 / (ROWS * LANES) * pairs / REPS
         # cycles per pair-ROW (8x128 vector): dt * clock / (ROWS/8 * REPS)
         cycles_row = dt * 0.94e9 / ((ROWS / 8) * REPS)
         results[variant] = (dt * 1e3, ns, cycles_row)
