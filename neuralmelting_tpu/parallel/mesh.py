@@ -61,6 +61,33 @@ def init_multihost(coordinator: str | None = None,
                                process_id=process_id)
 
 
+def to_global(mesh: Mesh, tree):
+    """Identical-per-process host trees -> replica-sharded GLOBAL arrays.
+
+    Under the multi-controller runtime every process builds the same
+    full-R ensemble (same config, same seed); this converts those
+    replicated host values into one global array per leaf, sharded on
+    the leading replica axis over ALL processes' devices, so a single
+    jitted program (GSPMD) runs each replica shard on its own host.
+    PRNG-key leaves are unwrapped/rewrapped around placement. Scalars
+    and None pass through. Validated by the two-process localhost test
+    (tests/test_multihost.py)."""
+    import numpy as np_
+
+    def put(x):
+        if x is None or np_.ndim(x) == 0:
+            return x
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(put(jax.random.key_data(x)))
+        xh = np_.asarray(x)
+        return jax.make_array_from_callback(
+            xh.shape, NamedSharding(mesh, P("replica")),
+            lambda idx: xh[idx])
+
+    return jax.tree.map(put, tree)
+
+
 def host_fetch(tree):
     """Make every leaf fully addressable on this host: identity in
     single-process runs; under the multi-controller runtime, a DCN
@@ -76,6 +103,8 @@ def host_fetch(tree):
     def fetch(x):
         if x is None or getattr(x, "is_fully_addressable", True):
             return x
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(fetch(jax.random.key_data(x)))
         return multihost_utils.process_allgather(x, tiled=True)
 
     # one collective per sharded leaf; every process traverses the same

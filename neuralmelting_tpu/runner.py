@@ -173,13 +173,32 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
         if bool(over):
             raise RuntimeError("cell slot capacity overflow at setup; "
                                "raise kcap")
+    slot_of = jnp.arange(r, dtype=jnp.int32)
+    if jax.process_count() > 1:
+        # multi-controller run (parallel/mesh.init_multihost): every
+        # process built the identical full-R ensemble above; convert it
+        # to replica-sharded GLOBAL arrays so ONE jitted program spans
+        # all hosts' devices and each host samples only its shard.
+        # GSPMD partitions the gather engine transparently; the cellmc
+        # engine's pallas_call needs the explicit shard_map wrapper
+        # (parallel/cellmc_sharded.py), not yet wired into this runner.
+        if engine != "gather":
+            raise NotImplementedError(
+                f"multi-host runner supports the gather engine; for "
+                f"engine={engine!r} drive parallel/cellmc_sharded."
+                "make_sharded_cellmc_run_fn directly")
+        from neuralmelting_tpu.parallel.mesh import (make_replica_mesh,
+                                                     to_global)
+        gmesh = make_replica_mesh()
+        states, nls, aux, slot_of = to_global(
+            gmesh, (states, nls, aux, slot_of))
     return RunSetup(cfg=cfg, pot=pot, style=style, us=us, mass=el.mass,
                     press=press, temp=temp, t_grid=t_grid, p_grid=p_grid,
                     states=states, nls=nls, aux=aux, cap=cap,
                     cellcfg=cellcfg,
                     table=(jnp.asarray(cellcfg.active_table)
                            if cellcfg is not None else None),
-                    slot_of=jnp.arange(r, dtype=jnp.int32), natoms=n,
+                    slot_of=slot_of, natoms=n,
                     engine=engine, gms=gms, shell=shell, gcap=gcap,
                     geom=geom, slabs=slabs, slab_count=slab_count,
                     shift=shift, cell_tabs=cell_tabs)
@@ -454,13 +473,6 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
             f"({'|'.join(names)}): outputs may be physically wrong — "
             "increase max_neighbors/skin or reduce step caps",
             RuntimeWarning, stacklevel=2)
-    if metrics is not None:
-        import numpy as _np
-        metrics.log("sampling_chunk",
-                    records=int(nrecords), replicas=int(hist.shape[1]),
-                    natoms=setup.natoms, seconds=round(_time.time() - _t0, 3),
-                    diag=diag_host,
-                    exchange_acc=[int(x) for x in _np.asarray(xacc)])
     setup = dataclasses.replace(setup, states=states, nls=nls, aux=aux,
                                 slot_of=slot_of)
 
@@ -477,6 +489,13 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
         is_writer = jax.process_index() == 0
     else:
         is_writer = True
+    if metrics is not None and is_writer:
+        import numpy as _np
+        metrics.log("sampling_chunk",
+                    records=int(nrecords), replicas=int(hist.shape[1]),
+                    natoms=setup.natoms, seconds=round(_time.time() - _t0, 3),
+                    diag=diag_host,
+                    exchange_acc=[int(x) for x in _np.asarray(xacc)])
     if write_files and outdir is not None and is_writer:
         os.makedirs(outdir, exist_ok=True)
         write_slot_files(cfg, outdir, recs, frames, hist,

@@ -1,0 +1,52 @@
+"""Worker for the two-process multi-controller test (test_multihost.py).
+
+Each process: join the localhost cluster (gloo collectives over TCP —
+the CPU stand-in for DCN), build the IDENTICAL ensemble, let setup_run
+convert it to replica-sharded global arrays, sample one chunk through
+run_sampling, and let process 0 write the per-slot text files.
+
+Usage: python tests/mh_worker.py <port> <process_id> <nprocs> <outdir>
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    port, pid, nprocs, outdir = (sys.argv[1], int(sys.argv[2]),
+                                 int(sys.argv[3]), sys.argv[4])
+    from neuralmelting_tpu.parallel.mesh import init_multihost
+
+    init_multihost(f"127.0.0.1:{port}", nprocs, pid)
+    assert jax.process_count() == nprocs
+
+    from neuralmelting_tpu import runner
+    from neuralmelting_tpu.config import RunConfig
+
+    ndev = len(jax.devices())
+    cfg = RunConfig(name="mh2", element="LJ", ncells=(4, 4, 4),
+                    npress=1, ntemp=ndev, press=(1.0,),
+                    temp=tuple(np.linspace(0.6, 1.4, ndev)),
+                    nsmpl=1, mod=2, seed=3)
+    setup = runner.setup_run(cfg, engine="gather")
+    assert not setup.states.pos.is_fully_addressable   # really sharded
+    setup, recs, frames, hist, xacc, diag = runner.run_sampling(
+        setup, outdir=outdir, write_traj=False,
+        checkpoint_path=os.path.join(outdir, "mh2.ckpt.npz"))
+    assert int(diag) == 0
+    pe = np.asarray(recs.pe)
+    assert pe.shape == (1, ndev), pe.shape       # gathered, NOT duplicated
+    print(f"[{pid}] MH2 PASS pe={pe[0, 0]:.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,38 @@ def test_host_fetch_identity_single_process():
     assert out["a"] is tree["a"] and out["b"][1] is tree["b"][1]
 
 
+def test_two_process_sharded_sampling(tmp_path):
+    """REAL multi-controller run on localhost: two processes (gloo over
+    TCP — the CPU stand-in for DCN), 2 virtual devices each, one global
+    4-device replica mesh. setup_run converts the ensemble to global
+    sharded arrays, GSPMD partitions the jitted sampling+tempering
+    program across both processes, host_fetch gathers the records, and
+    only process 0 writes files."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    worker = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(port), str(i), "2", str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "MH2 PASS" in out
+    thrm = list(tmp_path.glob("*.thrm"))
+    assert len(thrm) == 4            # one per (P,T) slot, written once
+    assert (tmp_path / "mh2.ckpt.npz").exists()
+
+
 def test_run_sampling_writer_gating_single_process(tmp_path):
     # the write path must still produce files when process_count == 1
     from neuralmelting_tpu import runner
