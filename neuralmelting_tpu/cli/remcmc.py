@@ -36,12 +36,13 @@ def main(argv=None):
     ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                     help="multi-host runs: JAX multi-controller "
                          "coordinator address (launch one process per "
-                         "host with --nprocs/--procid). Process 0 writes "
-                         "all outputs. NOTE: the CLI path currently "
-                         "replicates the ensemble per process (correct, "
-                         "redundant); shard over the global mesh via "
-                         "parallel/mesh.shard_ensemble + "
-                         "parallel/cellmc_sharded for actual scale-out")
+                         "host with --nprocs/--procid). The gather-engine "
+                         "ensemble is sharded over the global replica "
+                         "mesh (each host samples its shard; process 0 "
+                         "writes all outputs); other engines raise — "
+                         "drive parallel/cellmc_sharded."
+                         "make_sharded_cellmc_run_fn directly for the "
+                         "cellmc engine")
     ap.add_argument("--nprocs", type=int, default=None)
     ap.add_argument("--procid", type=int, default=None)
     args = ap.parse_args(argv)
@@ -71,14 +72,21 @@ def main(argv=None):
     if args.profile:
         print(f"profiler trace written to {args.profile}")
     import numpy as np
-    nmoves = int(np.asarray(setup.states.ntp).sum())
-    print(json.dumps({
-        "outdir": args.outdir, "records": int(cfg.nsmpl),
-        "replicas": int(len(setup.press) * len(setup.temp)),
-        "natoms": setup.natoms, "diag": int(diag),
-        "exchange_acceptances": [int(x) for x in np.asarray(xacc)],
-        "seconds": round(time.time() - t0, 2),
-    }))
+
+    # states stay replica-sharded after a multi-host run: gather the
+    # counter over DCN (a COLLECTIVE — every process calls it) before
+    # touching it, then let process 0 alone print the summary
+    from neuralmelting_tpu.parallel.mesh import host_fetch
+    nmoves = int(np.asarray(host_fetch(setup.states.ntp)).sum())
+    if _jax.process_index() == 0:
+        print(json.dumps({
+            "outdir": args.outdir, "records": int(cfg.nsmpl),
+            "replicas": int(len(setup.press) * len(setup.temp)),
+            "natoms": setup.natoms, "diag": int(diag),
+            "attempted_position_moves": nmoves,
+            "exchange_acceptances": [int(x) for x in np.asarray(xacc)],
+            "seconds": round(time.time() - t0, 2),
+        }))
 
 
 if __name__ == "__main__":

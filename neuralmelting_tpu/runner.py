@@ -141,15 +141,8 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
         shift = jnp.zeros((3,), jnp.float32)
         if style == "pair":
             geom = CMK.make_geom(box, pot.rc_host, n)
-            slabs, slab_count, over = SC.build_slabs(geom, states, shift)
-            # tighten K to measured occupancy: sweep cost is linear in K;
-            # mid-run overflow is detected and retried (run_sampling)
-            kt = CMK.tight_kcap(int(jnp.max(slab_count)), geom.nsub)
-            if kt < geom.kcap:
-                geom = dataclasses.replace(geom, kcap=kt)
-                slabs, slab_count, over = SC.build_slabs(geom, states,
-                                                         shift)
-            geom = _vmem_guard_geom(geom)
+            geom, slabs, slab_count, over = _bin_tightened(geom, states,
+                                                           shift)
             cell_tabs = jnp.asarray(CMK.geom_tables(geom))
             states = SC.refresh_energies(geom, states, slabs, pot)
         else:
@@ -158,12 +151,8 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
             from neuralmelting_tpu.models import eam_cheb as ECH
             cheb = ECH.from_spline(pot)
             geom = CMK.make_geom(box, cheb.rc_host, n, nsub=1, stride=3)
-            slabs, slab_count, over = SC.build_slabs(geom, states, shift)
-            kt = CMK.tight_kcap(int(jnp.max(slab_count)), geom.nsub)
-            if kt < geom.kcap:
-                geom = dataclasses.replace(geom, kcap=kt)
-                slabs, slab_count, over = SC.build_slabs(geom, states,
-                                                         shift)
+            geom, slabs, slab_count, over = _bin_tightened(geom, states,
+                                                           shift)
             scal, series, nser = SC.eam_pack(cheb)
             states, rho = SC.eam_initial_rho(geom, states, slabs, scal,
                                              series, nser)
@@ -241,7 +230,35 @@ def restore_setup(setup: RunSetup, checkpoint_path: str) -> RunSetup:
         # atoms) is absorbed by _rebind_cellmc's grow-and-retry, which
         # raises if capacity can't be found
         setup = _rebind_cellmc(setup, setup.geom)
+    if jax.process_count() > 1:
+        # re-apply the global replica sharding: the checkpoint loads as
+        # identical host-local full-R arrays on every process (exactly
+        # to_global's contract), and without this conversion each process
+        # would redundantly sample the full ensemble after a restart —
+        # correct-looking output, zero scale-out. setup_run already
+        # rejected non-gather engines for multi-host runs.
+        from neuralmelting_tpu.parallel.mesh import (make_replica_mesh,
+                                                     to_global)
+        gmesh = make_replica_mesh()
+        states_g, nls_g, aux_g, slots_g = to_global(
+            gmesh, (setup.states, setup.nls, setup.aux, setup.slot_of))
+        setup = dataclasses.replace(setup, states=states_g, nls=nls_g,
+                                    aux=aux_g, slot_of=slots_g)
     return setup
+
+
+def _bin_tightened(geom, states, shift):
+    """Bin the ensemble, tighten kcap to the measured occupancy (sweep
+    cost is linear in K; mid-run overflow is detected and retried in
+    run_sampling), re-bin if tightened, then apply the VMEM guard. One
+    policy shared by both setup_run styles — _rebind_cellmc implements
+    the inverse (grow-on-overflow) for mid-run geometry changes."""
+    slabs, slab_count, over = SC.build_slabs(geom, states, shift)
+    kt = CMK.tight_kcap(int(jnp.max(slab_count)), geom.nsub)
+    if kt < geom.kcap:
+        geom = dataclasses.replace(geom, kcap=kt)
+        slabs, slab_count, over = SC.build_slabs(geom, states, shift)
+    return _vmem_guard_geom(geom), slabs, slab_count, over
 
 
 def _vmem_guard_geom(geom):
@@ -351,6 +368,12 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
     if setup.engine == "cellmc":
         setup = _refresh_cellmc_geom(setup)
         while True:
+            # the run fns donate (states, slabs, slab_count) — donated
+            # buffers are DELETED on dispatch — so keep an intact copy of
+            # the pre-chunk ensemble for the slab-overflow retry below,
+            # which must rebuild slabs from the true pre-chunk positions
+            # (one ~50 MB on-device copy per chunk; chunks run seconds)
+            pre_states = jax.tree.map(jnp.copy, setup.states)
             if setup.style == "eam":
                 scal, series, nser = SC.eam_pack(setup.pot)
                 key = ("eam", setup.geom, nser, cfg.mod, nrecords, nvol,
@@ -413,6 +436,9 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                     f"cell slot overflow at kcap={setup.geom.kcap}: "
                     f"retrying chunk with kcap={setup.geom.kcap + 8}",
                     RuntimeWarning, stacklevel=2)
+                # the chunk consumed (donated) setup.states/slabs; retry
+                # from the snapshot taken at the top of this iteration
+                setup = dataclasses.replace(setup, states=pre_states)
                 setup = _rebind_cellmc(
                     setup, dataclasses.replace(
                         setup.geom, kcap=setup.geom.kcap + 8))

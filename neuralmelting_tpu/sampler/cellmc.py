@@ -49,10 +49,15 @@ DIAG_SLAB_OVERFLOW = 4       # a cell exceeded its K slot capacity
 def default_ncyc(geom) -> int:
     """Checkerboard cycles per sweep so attempted moves ~= natoms.
 
-    Attempts per cycle ~ ncells * nsub: consecutive-pick mover selection
-    trials min(cnt, J) distinct movers per cell per color step — J
-    whenever occupancy >= J (always at production occupancy ~32)."""
-    per_cycle = geom.ncells * geom.nsub
+    Attempts per cycle ~ ncells * min(nsub, mean occupancy): the
+    consecutive-pick mover selection trials min(cnt, J) distinct movers
+    per cell per color step. Mean occupancy natoms/ncells is ~30 at
+    every (P,T) — NPT volume moves rescale the cell WIDTH, not the
+    per-cell population — so the clamp only bites configs whose J
+    exceeds occupancy (tiny test systems), where ncells*nsub would
+    overstate attempts and under-provision cycles per sweep."""
+    occ = max(1, geom.natoms // geom.ncells)
+    per_cycle = geom.ncells * min(geom.nsub, occ)
     return max(1, int(round(geom.natoms / per_cycle)))
 
 

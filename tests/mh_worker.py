@@ -39,12 +39,22 @@ def main():
                     nsmpl=1, mod=2, seed=3)
     setup = runner.setup_run(cfg, engine="gather")
     assert not setup.states.pos.is_fully_addressable   # really sharded
+    ckpt = os.path.join(outdir, "mh2.ckpt.npz")
     setup, recs, frames, hist, xacc, diag = runner.run_sampling(
-        setup, outdir=outdir, write_traj=False,
-        checkpoint_path=os.path.join(outdir, "mh2.ckpt.npz"))
+        setup, outdir=outdir, write_traj=False, checkpoint_path=ckpt)
     assert int(diag) == 0
     pe = np.asarray(recs.pe)
     assert pe.shape == (1, ndev), pe.shape       # gathered, NOT duplicated
+
+    # restart path: restore_setup must RE-SHARD the checkpoint's
+    # host-local arrays over the global mesh — a fully-addressable
+    # restore means every process redundantly samples the full ensemble
+    setup2 = runner.restore_setup(setup, ckpt)
+    assert not setup2.states.pos.is_fully_addressable
+    setup2, recs2, *_, diag2 = runner.run_sampling(
+        setup2, outdir=None, write_files=False)
+    assert int(diag2) == 0
+    assert np.isfinite(np.asarray(recs2.pe)).all()
     print(f"[{pid}] MH2 PASS pe={pe[0, 0]:.2f}", flush=True)
 
 

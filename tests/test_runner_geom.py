@@ -89,3 +89,43 @@ def test_scoped_vmem_guard_drops_nsub(small_setup):
     big = dataclasses.replace(setup.geom, kcap=72, nsub=16)
     out = runner._rebind_cellmc(setup, big)
     assert out.geom.nsub == 8
+
+
+def test_midchunk_overflow_retry_survives_donation(small_setup):
+    """Mid-chunk DIAG_SLAB_OVERFLOW must grow kcap and RERUN the chunk
+    from the intact pre-chunk ensemble. The run fns donate
+    (states, slabs, slab_count), so the retry can only work from the
+    snapshot run_sampling takes before dispatch — rebuilding from the
+    donated arrays raises 'Array has been deleted' (code-review r3).
+
+    Overflow is forced by shrinking kcap to the exact current max
+    occupancy (zero margin): the random grid-shift rebins inside the
+    chunk redistribute cell populations past it almost surely at these
+    temperatures. pytest.warns makes the trigger mandatory — if the
+    overflow never fires, the test fails rather than passing vacuously.
+    """
+    import warnings
+
+    from neuralmelting_tpu.sampler import cellmc as SC
+
+    setup = small_setup
+    mx = int(jnp.max(setup.slab_count))
+    kc = -(-mx // 8) * 8                       # ceil to sublane multiple
+    tight = dataclasses.replace(setup.geom, kcap=kc)
+    shift = jnp.zeros((3,), jnp.float32)
+    slabs, count, over = SC.build_slabs(tight, setup.states, shift)
+    assert not bool(over), "zero-margin build must still fit"
+    states = SC.refresh_energies(tight, setup.states, slabs, setup.pot)
+    cfg = dataclasses.replace(setup.cfg, mod=6, rebin_every=1)
+    setup = dataclasses.replace(
+        setup, cfg=cfg, geom=tight, slabs=slabs, slab_count=count,
+        shift=shift, states=states,
+        cell_tabs=jnp.asarray(CMK.geom_tables(tight)))
+    with pytest.warns(RuntimeWarning, match="cell slot overflow"):
+        setup, recs, frames, hist, xacc, diag = runner.run_sampling(
+            setup, outdir=None, write_files=False)
+    assert int(diag) == 0                      # retried chunk is clean
+    assert setup.geom.kcap > kc                # capacity actually grew
+    per_rep = np.asarray(jnp.sum(setup.slab_count, axis=1))
+    assert (per_rep == setup.natoms).all()     # no atoms dropped
+    assert np.isfinite(np.asarray(recs.pe)).all()
