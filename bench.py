@@ -19,7 +19,11 @@ after warmup/equilibration and then times chunks between two readback
 barriers.
 """
 
+import glob
 import json
+import os
+import socket
+import subprocess
 import sys
 import time
 
@@ -40,22 +44,95 @@ from neuralmelting_tpu.sampler import cellmc as SC
 BASELINE_TARGET = 1.0e8
 SWEEPS_PER_CHUNK = 20
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _port_open(host="127.0.0.1", port=8082, timeout=3.0):
+    """Fast axon-tunnel probe: the claim leg dials 127.0.0.1:8082, and a
+    refused connect means the host-side relay is down (a dead tunnel
+    otherwise costs many minutes inside jax.devices())."""
+    try:
+        with socket.create_connection((host, port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+def _last_good():
+    """Latest committed diag=0 on-chip measurement, so an outage-window
+    bench record is never mistaken for a regression to zero."""
+    paths = sorted(glob.glob(os.path.join(_HERE, "docs",
+                                          "bench_progression_r*.json")))
+    for p in reversed(paths):
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+            good = [r for r in rec.get("runs", []) if r.get("diag") == 0]
+            if good:
+                r = good[-1]
+                return {"value": r["value"], "ts": r["ts"],
+                        "note": r.get("note", ""), "source": os.path.basename(p)}
+        except (OSError, ValueError, KeyError):
+            continue
+    return None
+
+
+def wait_for_backend(budget_secs=None, interval=60):
+    """Poll for the TPU backend for a bounded window before surrendering.
+
+    Axon tunnel outages last hours but are host-side and transient; the
+    driver's capture moment is not controllable, so ride out short tails:
+    probe port 8082 first (dead tunnel fails in 3 s, not minutes), and
+    only when the port answers spend a subprocess attempt on the real
+    claim (jax.devices() in THIS process would cache a failed backend
+    init, so probing runs out-of-process). Returns (ok, last_error)."""
+    if budget_secs is None:
+        budget_secs = float(os.environ.get("NM_BENCH_WAIT_SECS", "1800"))
+    deadline = time.time() + budget_secs
+    last_err = "not attempted"
+    first = True
+    while True:
+        if _port_open():
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax; d=jax.devices(); print(d[0])"],
+                    capture_output=True, text=True, timeout=900)
+                if r.returncode == 0:
+                    return True, None
+                last_err = (r.stderr or r.stdout).strip()[-500:]
+            except subprocess.TimeoutExpired:
+                last_err = "claim probe timed out (900s)"
+        else:
+            last_err = "port 8082 refused (axon tunnel down)"
+        if first:
+            print(f"# bench: TPU backend unavailable ({last_err}); "
+                  f"polling up to {budget_secs:.0f}s", file=sys.stderr)
+            first = False
+        if time.time() >= deadline:
+            return False, last_err
+        time.sleep(interval)
+
 
 def main():
-    try:
-        jax.devices()
-    except RuntimeError as e:
-        # axon tunnel down (port 8082 refused -> claim UNAVAILABLE):
-        # emit a self-explaining record instead of a traceback so the
-        # round still gets a BENCH json (docs/tpu_notes.md; memory:
-        # axon-tpu-tunnel-outages)
+    ok, err = wait_for_backend()
+    if ok:
+        try:
+            jax.devices()
+            ok, err = True, None
+        except RuntimeError as e:   # flapped between probe and claim
+            ok, err = False, str(e)
+    if not ok:
+        # Emit a self-explaining record instead of a traceback so the
+        # round still gets a BENCH json; carry the last committed on-chip
+        # measurement so value=0 reads as "outage", not "regression".
         print(json.dumps({
             "metric": "mc_attempted_moves_per_sec_per_chip",
             "value": 0, "unit": "moves/sec/chip", "vs_baseline": 0.0,
-            "error": f"TPU backend unavailable: {e}",
+            "error": f"TPU backend unavailable after poll window: {err}",
+            "last_good": _last_good(),
         }))
         return
-    import os
     fast_recip = os.environ.get("NM_FAST_RECIP", "") == "1"
     cfg = RunConfig(
         name="bench", element="LJ", ncells=(16, 8, 8),   # 4096 atoms

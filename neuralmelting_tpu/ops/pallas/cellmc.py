@@ -520,8 +520,9 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             """eterm(r2n) - eterm(r2o) with ONE divide: f32 division is
             the most expensive VPU op in the epilogue, and the candidate
             loop needs the new- and old-position terms of every pair, so
-            share the reciprocal: q = sig2^2/(r2n*r2o), sr2_new = q*r2o,
-            sr2_old = q*r2n. Degenerate inputs (0 or inf from empty
+            share the reciprocal: q = sig2/(r2n*r2o), sr2_new = q*r2o
+            = sig2/r2n, sr2_old = q*r2n = sig2/r2o (matching eterm's
+            sr2 = sig2/r2). Degenerate inputs (0 or inf from empty
             slots / self pairs) propagate NaN into BOTH sides, and every
             such slot is already excluded by the cutoff compare or the
             caller's onehot mask, exactly as for eterm.
@@ -537,9 +538,9 @@ def make_sweep_fn(geom: CellGeom, ncyc: int, interpret: bool = False,
             if fast_recip:
                 y = pl.reciprocal(d, approx=True)
                 y = y * (2.0 - d * y)
-                q = (sig2 * sig2) * y
+                q = sig2 * y
             else:
-                q = (sig2 * sig2) / d
+                q = sig2 / d
             s2n = q * r2o
             s2o = q * r2n
             s6n = s2n * s2n * s2n

@@ -25,9 +25,13 @@ from neuralmelting_tpu.ops import energy as EN
 from neuralmelting_tpu.ops.pallas import cellmc as CM
 
 
-def _setup(ncells=(4, 4, 4), jitter=0.05, seed=0):
-    pot = LJCut.create()
-    pos, box = make_supercell("fcc", 2.0 ** (2.0 / 3.0), ncells)
+def _setup(ncells=(4, 4, 4), jitter=0.05, seed=0, sigma=1.0):
+    # sigma scales the whole geometry (LJ corresponding states), so a
+    # sigma != 1 run probes the kernel's sigma handling without changing
+    # the physics regime (regression for the shared-reciprocal ediff bug:
+    # q must be sig2/(r2n*r2o), not sig2^2/(...)).
+    pot = LJCut.create(sigma=sigma, rc=2.5 * sigma)
+    pos, box = make_supercell("fcc", 2.0 ** (2.0 / 3.0) * sigma, ncells)
     n = pos.shape[0]
     geom = CM.make_geom(box, pot.rc_host, n, nsub=8)
     key = jax.random.key(seed)
@@ -92,16 +96,20 @@ def test_rebin_axis_preserves_atoms():
     assert (np.diff(occ, axis=1) <= 0).all()
 
 
-@pytest.mark.parametrize("ncells,ncyc,fast_recip",
-                         [((4, 4, 4), 2, False), ((6, 6, 6), 1, False),
-                          ((4, 4, 4), 2, True)])
-def test_sweep_pe_identity_and_confinement(ncells, ncyc, fast_recip):
+@pytest.mark.parametrize("ncells,ncyc,fast_recip,sigma",
+                         [((4, 4, 4), 2, False, 1.0),
+                          ((6, 6, 6), 1, False, 1.0),
+                          ((4, 4, 4), 2, True, 1.0),
+                          ((4, 4, 4), 2, False, 1.2),
+                          ((4, 4, 4), 2, True, 1.2)])
+def test_sweep_pe_identity_and_confinement(ncells, ncyc, fast_recip, sigma):
     """pe bookkeeping == brute force, and atoms never leave their cells.
 
     (6,6,6) exercises the real roll/wrap paths (within-color grid 3^3);
-    (4,4,4) the degenerate h=1 all-wrap case.
+    (4,4,4) the degenerate h=1 all-wrap case. sigma=1.2 pins ediff's
+    shared-reciprocal sigma scaling against eterm (advisor r3 finding).
     """
-    pot, geom, pos, box, shift = _setup(ncells)
+    pot, geom, pos, box, shift = _setup(ncells, sigma=sigma)
     x, y, z, ids, count, over = CM.bin_initial(geom, pos, box, shift)
     r = 2
     temps = np.asarray([0.9, 1.3], np.float32)
@@ -111,7 +119,7 @@ def test_sweep_pe_identity_and_confinement(ncells, ncyc, fast_recip):
         jnp.full((r,), w[0]), jnp.full((r,), w[1]), jnp.full((r,), w[2]),
         jnp.full((r,), box[0]), jnp.full((r,), box[1]),
         jnp.full((r,), box[2])])
-    pot3 = jnp.asarray([1.0, 1.0, 2.5, 0.0], jnp.float32)
+    pot3 = jnp.asarray([1.0, sigma, 2.5 * sigma, 0.0], jnp.float32)
     seeds = jnp.asarray([[99, 100]], jnp.int32)
     t = lambda s: jnp.transpose(jnp.broadcast_to(s[None], (r,) + s.shape))
     sweep = CM.make_sweep_fn(geom, ncyc=ncyc, interpret=True, rt=r,
