@@ -10,6 +10,7 @@ positions (unbin/shift/rescale transported correctly through shard_map).
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +59,9 @@ def test_cellmc_sharded_runner():
     seed0 = jnp.asarray([5, 12], jnp.int32)
     out = run(states, slabs, count, shift, slot_of,
               jax.random.key(9), pot, cell_tabs, t_grid, p_grid, seed0)
-    states, slabs, count, shift, slot_of, recs, hist, xacc, diag = out
+    (states, slabs, count, shift, slot_of, recs, frames, hist, xacc,
+     diag) = out
+    assert frames is None                     # write_traj=False
     jax.block_until_ready(states.pos)
 
     assert int(diag) == 0
@@ -78,3 +81,81 @@ def test_cellmc_sharded_runner():
                                         states.box[rr])
         np.testing.assert_allclose(float(states.pe[rr]), float(pe_b),
                                    rtol=5e-4, atol=0.05)
+    # replicated-shift invariant (ADVICE r3 low #3): shard_block folds a
+    # cross-shard shift min/max comparison into diag (DIAG_SHIFT_DESYNC),
+    # so the diag == 0 assertion above IS the desync check; sanity-check
+    # the value advanced and stayed a shared (3,) vector
+    sh = np.asarray(shift)
+    assert sh.shape == (3,) and np.isfinite(sh).all() and sh.sum() > 0
+
+
+@pytest.mark.slow
+def test_eam_cellmc_sharded_runner():
+    """EAM production engine under the 8-device mesh (VERDICT r3 missing
+    #3b): density slab sharded with the position slabs, shared rebin
+    draw, per-shard kernel/volume streams, tempering across the mesh;
+    record pe must match the brute O(N^2) Chebyshev total."""
+    import os
+    import tempfile
+
+    from neuralmelting_tpu.models import eam as EAM
+    from neuralmelting_tpu.models import eam_cheb as EC
+    from neuralmelting_tpu.models import eam_gen
+    from tests.test_cellmc_eam import brute_cheb
+
+    devices = jax.devices("cpu")
+    assert len(devices) == 8
+    mesh = MESH.make_replica_mesh(devices)
+
+    path = os.path.join(tempfile.gettempdir(), "nm_synthetic_Al.eam.alloy")
+    if not os.path.exists(path):
+        eam_gen.write_setfl(path)
+    ch = EC.from_spline(EAM.load(path))
+    pos, box = make_supercell("fcc", 4.05, (5, 5, 5))      # 500 atoms
+    n = len(pos)
+    kb = 8.617333e-5
+    npress, ntemp = 1, 8
+    r = npress * ntemp                                     # 1/device
+    t_grid = jnp.linspace(300.0, 1500.0, r)
+    p_grid = jnp.zeros((r,), jnp.float32)
+    states = ensemble_init(None, jnp.asarray(pos), jnp.asarray(box), 11,
+                           t_grid, p_grid, dpos0=0.12, dvol_frac0=0.004,
+                           dt0=0.001,
+                           energy_fn=lambda p_, a, b: (jnp.zeros(()),
+                                                       jnp.zeros(())))
+    geom = CM.make_geom(box, ch.rc_host, n, nsub=1, stride=3, kcap=32)
+    shift = jnp.zeros((3,), jnp.float32)
+    slabs, count, over = SC.build_slabs(geom, states, shift)
+    assert not bool(over)
+    scal, series, nser = SC.eam_pack(ch)
+    states, rho = SC.eam_initial_rho(geom, states, slabs, scal, series,
+                                     nser)
+    slabs = slabs + (rho,)
+    cell_tabs = jnp.asarray(CM.geom_tables(geom))
+
+    states = MESH.shard_ensemble(mesh, states)
+    slabs = tuple(MESH.shard_ensemble(mesh, s) for s in slabs)
+    count = MESH.shard_ensemble(mesh, count)
+
+    run = CS.make_sharded_cellmc_run_fn(
+        mesh, kb, 1.0, geom, mod=2, nrecords=2, npress=npress,
+        ntemp=ntemp, ncyc=1, nvol=1, vol_every=2, rebin_every=2,
+        adapt=False, style="eam", nser=nser)
+    slot_of = jnp.arange(r, dtype=jnp.int32)
+    out = run(states, slabs, count, shift, slot_of, jax.random.key(3),
+              scal, series, cell_tabs, t_grid, p_grid,
+              jnp.asarray([31, 7], jnp.int32))
+    (states, slabs, count, shift, slot_of, recs, frames, hist, xacc,
+     diag) = out
+    jax.block_until_ready(states.pos)
+
+    assert int(diag) == 0
+    assert sorted(int(s) for s in slot_of) == list(range(r))
+    assert int(jnp.sum(states.ntp)) > 0 and np.asarray(states.ntp).min() > 0
+    pe = np.asarray(recs.pe)
+    assert np.isfinite(pe).all()
+    assert len(np.unique(pe[-1])) == r            # decorrelated shards
+    for rr in (0, 7):
+        pe_b, _ = brute_cheb(ch, states.pos[rr], states.box[rr])
+        np.testing.assert_allclose(float(states.pe[rr]), float(pe_b),
+                                   rtol=1e-4, atol=0.02)
