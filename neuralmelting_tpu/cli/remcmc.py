@@ -36,13 +36,13 @@ def main(argv=None):
     ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                     help="multi-host runs: JAX multi-controller "
                          "coordinator address (launch one process per "
-                         "host with --nprocs/--procid). The gather-engine "
-                         "ensemble is sharded over the global replica "
-                         "mesh (each host samples its shard; process 0 "
-                         "writes all outputs); other engines raise — "
-                         "drive parallel/cellmc_sharded."
-                         "make_sharded_cellmc_run_fn directly for the "
-                         "cellmc engine")
+                         "host with --nprocs/--procid). The ensemble is "
+                         "sharded over the global replica mesh: gather "
+                         "engine via GSPMD, cellmc (LJ and EAM) via the "
+                         "shard_map wrapper (parallel/cellmc_sharded.py); "
+                         "each host samples its shard, process 0 writes "
+                         "all outputs. The dense engine is "
+                         "single-process only.")
     ap.add_argument("--nprocs", type=int, default=None)
     ap.add_argument("--procid", type=int, default=None)
     args = ap.parse_args(argv)

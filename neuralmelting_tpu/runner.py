@@ -169,18 +169,24 @@ def setup_run(cfg: RunConfig, setfl: Optional[str] = None,
         # to replica-sharded GLOBAL arrays so ONE jitted program spans
         # all hosts' devices and each host samples only its shard.
         # GSPMD partitions the gather engine transparently; the cellmc
-        # engine's pallas_call needs the explicit shard_map wrapper
-        # (parallel/cellmc_sharded.py), not yet wired into this runner.
-        if engine != "gather":
+        # engine routes through the explicit shard_map wrapper
+        # (parallel/cellmc_sharded.py) in run_sampling. ``shift`` and
+        # ``cell_tabs`` stay host-local (replicated by value across
+        # processes, exactly like pot/t_grid/p_grid).
+        if engine == "dense":
             raise NotImplementedError(
-                f"multi-host runner supports the gather engine; for "
-                f"engine={engine!r} drive parallel/cellmc_sharded."
-                "make_sharded_cellmc_run_fn directly")
+                "multi-host runner supports the gather and cellmc "
+                "engines; the dense/MXU engine is single-process "
+                "(superseded by cellmc for production scale)")
         from neuralmelting_tpu.parallel.mesh import (make_replica_mesh,
                                                      to_global)
         gmesh = make_replica_mesh()
-        states, nls, aux, slot_of = to_global(
-            gmesh, (states, nls, aux, slot_of))
+        if engine == "cellmc":
+            states, slabs, slab_count, slot_of = to_global(
+                gmesh, (states, slabs, slab_count, slot_of))
+        else:
+            states, nls, aux, slot_of = to_global(
+                gmesh, (states, nls, aux, slot_of))
     return RunSetup(cfg=cfg, pot=pot, style=style, us=us, mass=el.mass,
                     press=press, temp=temp, t_grid=t_grid, p_grid=p_grid,
                     states=states, nls=nls, aux=aux, cap=cap,
@@ -203,6 +209,13 @@ def restore_setup(setup: RunSetup, checkpoint_path: str) -> RunSetup:
 
     from neuralmelting_tpu.io import checkpoint as ckpt_mod
 
+    if jax.process_count() > 1:
+        # checkpoint writes are gated to process 0 (run_sampling); a
+        # restart that reads before the writer finished sees a torn
+        # file — barrier so every process observes the completed write
+        # (the save is synchronous on process 0 before it reaches here)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("nm_restore_checkpoint")
     states, slot_of, cfg_json, _ = ckpt_mod.load(checkpoint_path)
     if cfg_json not in ("{}", setup.cfg.to_json()):
         warnings.warn("checkpoint was written with a different RunConfig; "
@@ -228,22 +241,31 @@ def restore_setup(setup: RunSetup, checkpoint_path: str) -> RunSetup:
         # rebin the restored ensemble; a checkpoint whose NPT-compressed
         # boxes exceed the current kcap (silently clipping would drop
         # atoms) is absorbed by _rebind_cellmc's grow-and-retry, which
-        # raises if capacity can't be found
+        # raises if capacity can't be found. (Runs on host-local full-R
+        # arrays — the checkpoint loads identically on every process —
+        # so the pallas refresh kernels stay un-partitioned.)
         setup = _rebind_cellmc(setup, setup.geom)
     if jax.process_count() > 1:
         # re-apply the global replica sharding: the checkpoint loads as
         # identical host-local full-R arrays on every process (exactly
         # to_global's contract), and without this conversion each process
         # would redundantly sample the full ensemble after a restart —
-        # correct-looking output, zero scale-out. setup_run already
-        # rejected non-gather engines for multi-host runs.
+        # correct-looking output, zero scale-out.
         from neuralmelting_tpu.parallel.mesh import (make_replica_mesh,
                                                      to_global)
         gmesh = make_replica_mesh()
-        states_g, nls_g, aux_g, slots_g = to_global(
-            gmesh, (setup.states, setup.nls, setup.aux, setup.slot_of))
-        setup = dataclasses.replace(setup, states=states_g, nls=nls_g,
-                                    aux=aux_g, slot_of=slots_g)
+        if setup.engine == "cellmc":
+            states_g, slabs_g, count_g, slots_g = to_global(
+                gmesh, (setup.states, setup.slabs, setup.slab_count,
+                        setup.slot_of))
+            setup = dataclasses.replace(setup, states=states_g,
+                                        slabs=slabs_g, slab_count=count_g,
+                                        slot_of=slots_g)
+        else:
+            states_g, nls_g, aux_g, slots_g = to_global(
+                gmesh, (setup.states, setup.nls, setup.aux, setup.slot_of))
+            setup = dataclasses.replace(setup, states=states_g, nls=nls_g,
+                                        aux=aux_g, slot_of=slots_g)
     return setup
 
 
@@ -278,7 +300,27 @@ def _rebind_cellmc(setup: RunSetup, geom) -> RunSetup:
     (changed kcap and/or ncell). Off the hot path: runs at chunk
     boundaries, where states.pos is synced and exact (sampler/cellmc.py
     record contract). Grows kcap once more if the tightened guess still
-    overflows the true occupancy."""
+    overflows the true occupancy.
+
+    Multi-controller runs: the refresh kernels (refresh_energies /
+    eam_initial_rho) are pallas_calls, which GSPMD cannot partition over
+    globally-sharded inputs — gather the ensemble to every host (DCN
+    collective, all processes participate), rebind on full-R local
+    arrays, then re-shard. Chunk-boundary-only, so the gather cost is
+    amortized over whole sweep blocks."""
+    if not getattr(setup.states.pos, "is_fully_addressable", True):
+        from neuralmelting_tpu.parallel.mesh import (host_fetch,
+                                                     make_replica_mesh,
+                                                     to_global)
+        local = dataclasses.replace(setup, states=host_fetch(setup.states),
+                                    slabs=None, slab_count=None)
+        local = _rebind_cellmc(local, geom)
+        gmesh = make_replica_mesh()
+        states_g, slabs_g, count_g = to_global(
+            gmesh, (local.states, local.slabs, local.slab_count))
+        return dataclasses.replace(local, states=states_g, slabs=slabs_g,
+                                   slab_count=count_g,
+                                   slot_of=setup.slot_of)
     shift = jnp.zeros((3,), jnp.float32)
     geom = _vmem_guard_geom(geom)
     slabs, slab_count, over = SC.build_slabs(geom, setup.states, shift)
@@ -366,6 +408,16 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
     import time as _time
     _t0 = _time.time()
     if setup.engine == "cellmc":
+        # multi-controller: one process per host joined via
+        # init_multihost; the Pallas engine runs per-shard under
+        # shard_map over the global replica mesh (GSPMD cannot partition
+        # pallas_call), tempering outside it — same 10-tuple contract
+        multi = jax.process_count() > 1
+        gmesh = None
+        if multi:
+            from neuralmelting_tpu.parallel import cellmc_sharded as CSH
+            from neuralmelting_tpu.parallel.mesh import make_replica_mesh
+            gmesh = make_replica_mesh()
         setup = _refresh_cellmc_geom(setup)
         while True:
             # the run fns donate (states, slabs, slab_count) — donated
@@ -377,19 +429,35 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
             if setup.style == "eam":
                 scal, series, nser = SC.eam_pack(setup.pot)
                 key = ("eam", setup.geom, nser, cfg.mod, nrecords, nvol,
-                       cfg.adapt_factor, npress, ntemp, write_traj,
+                       cfg.adapt_factor, npress, ntemp, write_traj, multi,
                        cfg.vol_every, cfg.rebin_every,
                        cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
-                run = _cached_run_fn(key, lambda: SC.make_eam_run_fn(
-                    setup.us.kb, setup.us.p2e, setup.geom, nser,
-                    mod=cfg.mod, nrecords=nrecords,
-                    ncyc=SC.default_ncyc(setup.geom),
-                    nvol=nvol, factor=cfg.adapt_factor,
-                    vol_every=cfg.vol_every, rebin_every=cfg.rebin_every,
-                    targets=(cfg.acc_target_pos, cfg.acc_target_vol,
-                             cfg.acc_target_hmc),
-                    exchange=True, npress=npress, ntemp=ntemp,
-                    write_traj=write_traj))
+                if multi:
+                    run = _cached_run_fn(
+                        key, lambda: CSH.make_sharded_cellmc_run_fn(
+                            gmesh, setup.us.kb, setup.us.p2e, setup.geom,
+                            mod=cfg.mod, nrecords=nrecords,
+                            npress=npress, ntemp=ntemp,
+                            ncyc=SC.default_ncyc(setup.geom), nvol=nvol,
+                            vol_every=cfg.vol_every,
+                            rebin_every=cfg.rebin_every,
+                            targets=(cfg.acc_target_pos,
+                                     cfg.acc_target_vol,
+                                     cfg.acc_target_hmc),
+                            factor=cfg.adapt_factor, style="eam",
+                            nser=nser, write_traj=write_traj))
+                else:
+                    run = _cached_run_fn(key, lambda: SC.make_eam_run_fn(
+                        setup.us.kb, setup.us.p2e, setup.geom, nser,
+                        mod=cfg.mod, nrecords=nrecords,
+                        ncyc=SC.default_ncyc(setup.geom),
+                        nvol=nvol, factor=cfg.adapt_factor,
+                        vol_every=cfg.vol_every,
+                        rebin_every=cfg.rebin_every,
+                        targets=(cfg.acc_target_pos, cfg.acc_target_vol,
+                                 cfg.acc_target_hmc),
+                        exchange=True, npress=npress, ntemp=ntemp,
+                        write_traj=write_traj))
                 out = run(setup.states, setup.slabs, setup.slab_count,
                           setup.shift, setup.slot_of,
                           jax.random.key(cfg.seed + 1), scal, series,
@@ -401,17 +469,33 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                 fr = os.environ.get("NM_FAST_RECIP", "") == "1"
                 key = ("cellmc", setup.geom, cfg.mod, nrecords, nvol,
                        cfg.adapt_factor, npress, ntemp, write_traj, fr,
-                       cfg.vol_every, cfg.rebin_every,
+                       multi, cfg.vol_every, cfg.rebin_every,
                        cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
-                run = _cached_run_fn(key, lambda: SC.make_cellmc_run_fn(
-                    setup.us.kb, setup.us.p2e, setup.geom, mod=cfg.mod,
-                    nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
-                    nvol=nvol, factor=cfg.adapt_factor, fast_recip=fr,
-                    vol_every=cfg.vol_every, rebin_every=cfg.rebin_every,
-                    targets=(cfg.acc_target_pos, cfg.acc_target_vol,
-                             cfg.acc_target_hmc),
-                    exchange=True, npress=npress, ntemp=ntemp,
-                    write_traj=write_traj))
+                if multi:
+                    run = _cached_run_fn(
+                        key, lambda: CSH.make_sharded_cellmc_run_fn(
+                            gmesh, setup.us.kb, setup.us.p2e, setup.geom,
+                            mod=cfg.mod, nrecords=nrecords,
+                            npress=npress, ntemp=ntemp,
+                            ncyc=SC.default_ncyc(setup.geom), nvol=nvol,
+                            vol_every=cfg.vol_every,
+                            rebin_every=cfg.rebin_every,
+                            targets=(cfg.acc_target_pos,
+                                     cfg.acc_target_vol,
+                                     cfg.acc_target_hmc),
+                            factor=cfg.adapt_factor, fast_recip=fr,
+                            write_traj=write_traj))
+                else:
+                    run = _cached_run_fn(key, lambda: SC.make_cellmc_run_fn(
+                        setup.us.kb, setup.us.p2e, setup.geom, mod=cfg.mod,
+                        nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
+                        nvol=nvol, factor=cfg.adapt_factor, fast_recip=fr,
+                        vol_every=cfg.vol_every,
+                        rebin_every=cfg.rebin_every,
+                        targets=(cfg.acc_target_pos, cfg.acc_target_vol,
+                                 cfg.acc_target_hmc),
+                        exchange=True, npress=npress, ntemp=ntemp,
+                        write_traj=write_traj))
                 out = run(setup.states, setup.slabs, setup.slab_count,
                           setup.shift, setup.slot_of,
                           jax.random.key(cfg.seed + 1), setup.pot,
@@ -492,7 +576,7 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
     if diag_host != 0:
         import warnings
         bits = {1: "NL_OVERFLOW", 2: "CB_INVALID", 4: "GHOST_OVERFLOW",
-                8: "NL_STALE"}
+                8: "NL_STALE", 16: "SHIFT_DESYNC"}
         names = [v for k, v in bits.items() if diag_host & k]
         warnings.warn(
             f"sampling chunk finished with diagnostic flags {diag_host} "

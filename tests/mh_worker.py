@@ -57,6 +57,36 @@ def main():
     assert np.isfinite(np.asarray(recs2.pe)).all()
     print(f"[{pid}] MH2 PASS pe={pe[0, 0]:.2f}", flush=True)
 
+    # --- production cellmc engine through the SAME multi-host runner
+    # path (VERDICT r3 missing #3a): shard_map over the process-spanning
+    # mesh, interpret kernels per shard, tempering across DCN
+    from neuralmelting_tpu.ops import energy as EN
+    from neuralmelting_tpu.parallel.mesh import host_fetch
+
+    cfg3 = RunConfig(name="mh2c", element="LJ", ncells=(4, 4, 4),
+                     npress=1, ntemp=ndev, press=(1.0,),
+                     temp=tuple(np.linspace(0.7, 1.3, ndev)),
+                     nsmpl=1, mod=2, seed=11)
+    setup3 = runner.setup_run(cfg3, engine="cellmc")
+    assert not setup3.states.pos.is_fully_addressable   # really sharded
+    setup3, recs3, frames3, hist3, xacc3, diag3 = runner.run_sampling(
+        setup3, outdir=outdir, write_traj=False)
+    assert int(diag3) == 0
+    pe3 = np.asarray(recs3.pe)
+    assert pe3.shape == (1, ndev), pe3.shape     # gathered, NOT duplicated
+    assert sorted(np.asarray(hist3)[0].tolist()) == list(range(ndev))
+    # pe oracle: record-point pe == brute O(N^2) total at the synced
+    # positions (gather the sharded final state over DCN first)
+    pos_h, box_h, pe_h = host_fetch((setup3.states.pos, setup3.states.box,
+                                     setup3.states.pe))
+    for rr in (0, ndev - 1):
+        pe_b, _ = EN.pair_energy_virial(setup3.pot,
+                                        np.asarray(pos_h)[rr],
+                                        np.asarray(box_h)[rr])
+        assert abs(float(np.asarray(pe_h)[rr]) - float(pe_b)) < \
+            0.05 + 5e-4 * abs(float(pe_b))
+    print(f"[{pid}] MH2 CELLMC PASS pe={pe3[0, 0]:.2f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

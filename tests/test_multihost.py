@@ -50,8 +50,9 @@ def test_two_process_sharded_sampling(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert "MH2 PASS" in out
+        assert "MH2 CELLMC PASS" in out   # production engine, same path
     thrm = list(tmp_path.glob("*.thrm"))
-    assert len(thrm) == 4            # one per (P,T) slot, written once
+    assert len(thrm) == 8            # one per (P,T) slot per run, written once
     assert (tmp_path / "mh2.ckpt.npz").exists()
 
 
