@@ -37,31 +37,38 @@ ROWS, LANES, REPS = 2048, 128, 64
 
 
 def make_kernel(variant: str):
+    # *_bf16 variants run the identical op mix on bfloat16 operands:
+    # measures whether the VPU issues packed-16-bit arithmetic faster
+    # than f32 on this chip (VERDICT r3 weak #2: "try one packed/bf16
+    # candidate-scan variant"). Accuracy is irrelevant — cost probe.
+    dt = jnp.bfloat16 if variant.endswith("_bf16") else jnp.float32
+
     def kernel(a_ref, b_ref, o_ref):
-        sig2 = jnp.float32(1.0)
-        rc2 = jnp.float32(6.25)
+        sig2 = dt(1.0)
+        rc2 = dt(6.25)
 
         def body(i, acc):
             # fresh "candidate minus mover" diffs (3 sub, 3 mul, 2 add)
-            d0 = a_ref[:] - b_ref[:] * (1.0 + 1e-6 * i)
-            d1 = a_ref[:] * 0.5 - b_ref[:]
-            d2 = a_ref[:] - 0.5 * b_ref[:]
+            d0 = a_ref[:] - b_ref[:] * (dt(1.0) + dt(1e-6) * i.astype(dt))
+            d1 = a_ref[:] * dt(0.5) - b_ref[:]
+            d2 = a_ref[:] - dt(0.5) * b_ref[:]
             r2 = d0 * d0 + d1 * d1 + d2 * d2
-            if variant == "fma_peak":
+            if variant.startswith("fma_peak"):
                 # issue-rate ceiling: same op COUNT as nothing — a pure
                 # fma chain of the same length as one r2 eval (6 ops)
                 return acc + r2
             if variant.startswith("pair_"):
                 # the REAL sweep epilogue: TWO configs per pair (old +
                 # displaced mover), fused e(new)-e(old). Mirrors
-                # ops/pallas/cellmc.py ediff()/r2of() exactly.
-                dd = 0.01 * b_ref[:]
+                # ops/pallas/cellmc.py ediff()/r2of() exactly
+                # (q = sig2/(r2n*r2o) — post r4 sigma fix).
+                dd = dt(0.01) * b_ref[:]
                 if variant == "pair_incr":
                     # r2_new from r2_old incrementally: the mover's
                     # displacement D is shared by all K candidates, so
                     # r2n = r2o - d.(2D) + |D|^2 (5 ops vs 8 fresh)
                     dot = d0 * dd + d1 * dd + d2 * dd
-                    r2n = r2 - (dot + dot) + 3.0 * (dd * dd)
+                    r2n = r2 - (dot + dot) + dt(3.0) * (dd * dd)
                 else:
                     e0 = d0 - dd
                     e1 = d1 - dd
@@ -69,15 +76,15 @@ def make_kernel(variant: str):
                     r2n = e0 * e0 + e1 * e1 + e2 * e2
                 if variant == "pair_recip":
                     y = pl.reciprocal(r2n * r2, approx=True)
-                    q = (sig2 * sig2) * y
+                    q = sig2 * y
                 else:
-                    q = (sig2 * sig2) / (r2n * r2)
+                    q = sig2 / (r2n * r2)
                 s2n = q * r2
                 s2o = q * r2n
                 s6n = s2n * s2n * s2n
                 s6o = s2o * s2o * s2o
-                en = jnp.where(r2n < rc2, s6n * s6n - s6n, 0.0)
-                eo = jnp.where(r2 < rc2, s6o * s6o - s6o, 0.0)
+                en = jnp.where(r2n < rc2, s6n * s6n - s6n, dt(0.0))
+                eo = jnp.where(r2 < rc2, s6o * s6o - s6o, dt(0.0))
                 return acc + (en - eo)
             if variant == "div":
                 sr2 = sig2 / r2
@@ -99,8 +106,8 @@ def make_kernel(variant: str):
             return acc + e
 
         acc = jax.lax.fori_loop(0, REPS, body,
-                                jnp.zeros((ROWS, LANES), jnp.float32))
-        o_ref[:] = acc
+                                jnp.zeros((ROWS, LANES), dt))
+        o_ref[:] = acc.astype(jnp.float32)
 
     return kernel
 
@@ -115,9 +122,14 @@ def main():
 
     results = {}
     # pair_div = as-shipped epilogue (fresh r2 + one divide) and is the
-    # baseline the incr/recip variants are judged against
+    # baseline the incr/recip variants are judged against; the _bf16
+    # twins measure the packed-16-bit issue-rate question
     for variant in ("div", "recip", "recip0", "rsqrt", "nodiv", "fma_peak",
-                    "pair_div", "pair_incr", "pair_recip"):
+                    "pair_div", "pair_incr", "pair_recip",
+                    "fma_peak_bf16", "pair_div_bf16"):
+        indt = (jnp.bfloat16 if variant.endswith("_bf16")
+                else jnp.float32)
+        av, bv = a.astype(indt), b.astype(indt)
         fn = pl.pallas_call(
             make_kernel(variant),
             out_shape=jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32),
@@ -128,12 +140,12 @@ def main():
             interpret=jax.default_backend() != "tpu",
         )
         jfn = jax.jit(fn)
-        out = jfn(a, b)
+        out = jfn(av, bv)
         _ = float(jnp.sum(out))        # readback: honest timing mode
         t0 = time.perf_counter()
         iters = 20
         for _ in range(iters):
-            out = jfn(a, b)
+            out = jfn(av, bv)
         _ = float(jnp.sum(out))
         dt = (time.perf_counter() - t0) / iters
         pairs = ROWS * LANES * REPS

@@ -64,8 +64,10 @@ def test_kcap_grows_near_overflow(small_setup, monkeypatch):
         slab_count=setup.slab_count.at[0, 0].set(near))
     out = runner._refresh_cellmc_geom(fake)
     assert len(calls) == 1
-    assert out.geom.kcap >= CMK.tight_kcap(near, g.nsub) or \
-        out.geom.kcap > g.kcap - 4  # grown (or regrown from true occupancy)
+    # strict: capacity actually grew to fit the near-overflow occupancy
+    # (ADVICE r3 low #2: the old `or kcap > kcap-4` clause was vacuous)
+    assert out.geom.kcap >= CMK.tight_kcap(near, g.nsub)
+    assert out.geom.kcap > g.kcap
 
 
 def test_rebind_overflow_grows_and_conserves_atoms(small_setup):
