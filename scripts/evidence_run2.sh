@@ -1,13 +1,8 @@
 #!/bin/bash
-# Round-4 on-chip evidence package (VERDICT r3 next #1) — run at every
-# tunnel window, cheapest-first so a short window still lands artifacts:
-#   1. compiled-vs-interpret A/B        -> ab_result.json        (commit)
-#   2. kbench fast_recip kernel A/B     -> log
-#   3. bench.py exact + NM_FAST_RECIP=1 -> bench_progression_r4.json
-#   4. eambench                         -> eambench_result.json  (commit)
-#   5. northstar full scale             -> northstar_result.json (commit)
-# Each step logs to docs/evidence_r4.log and commits its artifact so a
-# mid-package outage keeps everything landed so far.
+# Round-4 on-chip evidence package, part 2 (takes over from
+# evidence_run.sh after its commit_art pathspec fix): waits for any
+# already-running kbench to finish, then lands the remaining artifacts,
+# committing each as it goes so a mid-package outage loses nothing.
 set -u
 cd /root/repo
 LOG=docs/evidence_r4.log
@@ -15,8 +10,6 @@ stamp() { date -u "+%Y-%m-%dT%H:%M:%SZ"; }
 say() { echo "[$(stamp)] $*" | tee -a "$LOG"; }
 commit_art() {  # commit_art <msg> <files...>
     local msg="$1"; shift
-    # add each path separately: one missing pathspec must not abort the
-    # whole add (git add a b-missing stages NOTHING)
     local f
     for f in "$@" "$LOG" docs/bench_progression_r4.json; do
         [ -e "$f" ] && git add -- "$f"
@@ -24,19 +17,20 @@ commit_art() {  # commit_art <msg> <files...>
     git commit -q -m "$msg" 2>/dev/null && say "committed: $msg"
 }
 
-say "=== evidence package start (port 8082 $(timeout 3 bash -c \
-    'echo > /dev/tcp/127.0.0.1/8082' 2>/dev/null && echo open || echo CLOSED)) ==="
+# wait for the in-flight kbench (step 2 of part 1) to release the chip
+while pgrep -x python -a | grep -q "scripts/kbench.py"; do sleep 15; done
+say "part 2 start: chip free"
+commit_art "On-chip evidence: kbench fast_recip A/B log"
 
-say "step 1: compiled-vs-interpret A/B"
-timeout 3600 python scripts/ab_interpret.py >> "$LOG" 2>&1
-RC=$?
-say "ab_interpret rc=$RC"
-[ -f ab_result.json ] && commit_art "On-chip evidence: compiled-vs-interpret A/B artifact" ab_result.json
+say "step 2b: kbench J=32 movers-per-color-step A/B (48:16 vs 48:32)"
+timeout 1800 python scripts/kbench.py 48:32 >> "$LOG" 2>&1
+say "kbench J32 rc=$?"
+commit_art "On-chip evidence: kbench J=32 probe"
 
-say "step 2: kbench fast_recip kernel A/B (48:16 vs 48:16:r)"
-timeout 3600 python scripts/kbench.py 48:16 48:16:r >> "$LOG" 2>&1
-say "kbench rc=$?"
-commit_art "On-chip evidence: kbench fast_recip A/B log" "$LOG"
+say "step 2c: vpu_probe (fma peak, pair incr/recip, bf16 issue rate)"
+timeout 1800 python scripts/vpu_probe.py >> "$LOG" 2>&1
+say "vpu_probe rc=$?"
+commit_art "On-chip evidence: VPU issue-rate probe (peak vs sustained, bf16)"
 
 say "step 3a: bench.py (exact divide)"
 NM_BENCH_WAIT_SECS=600 timeout 5400 python bench.py 2>>"$LOG" \
@@ -55,7 +49,7 @@ timeout 7200 python scripts/eambench.py >> "$LOG" 2>&1
 say "eambench rc=$?"
 [ -f eambench_result.json ] && commit_art "On-chip evidence: EAM bench artifact" eambench_result.json
 
-say "step 4b: occupancy study (band-kcap decision data; reuses bench compile)"
+say "step 4b: occupancy study (band-kcap decision data)"
 timeout 5400 python scripts/occupancy_study.py >> "$LOG" 2>&1
 say "occupancy rc=$?"
 [ -f occupancy_result.json ] && commit_art "On-chip evidence: per-replica occupancy distribution (band-kcap decision)" occupancy_result.json
@@ -65,4 +59,4 @@ timeout 14400 python scripts/northstar.py >> "$LOG" 2>&1
 say "northstar rc=$?"
 [ -f northstar_result.json ] && commit_art "On-chip evidence: north-star pipeline artifact" northstar_result.json
 
-say "=== evidence package end ==="
+say "=== part 2 end ==="
