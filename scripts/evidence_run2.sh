@@ -22,10 +22,14 @@ while pgrep -x python -a | grep -q "scripts/kbench.py"; do sleep 15; done
 say "part 2 start: chip free"
 commit_art "On-chip evidence: kbench fast_recip A/B log"
 
-say "step 2b: kbench J=32 movers-per-color-step A/B (48:16 vs 48:32)"
-timeout 1800 python scripts/kbench.py 48:32 >> "$LOG" 2>&1
-say "kbench J32 rc=$?"
-commit_art "On-chip evidence: kbench J=32 probe"
+say "step 2b: kbench specs, one process each (a hung tunnel RPC in one"
+say "        spec must not starve the rest — the 03:33 stall ate 48:16)"
+for SPEC in 48:16 48:16:r 48:32; do
+    say "kbench $SPEC"
+    timeout 1500 python scripts/kbench.py "$SPEC" >> "$LOG" 2>&1
+    say "kbench $SPEC rc=$?"
+done
+commit_art "On-chip evidence: kbench fast_recip + J=32 probes"
 
 say "step 2c: vpu_probe (fma peak, pair incr/recip, bf16 issue rate)"
 timeout 1800 python scripts/vpu_probe.py >> "$LOG" 2>&1
