@@ -190,7 +190,6 @@ def main():
     # scripts/eambench.py (EAM-Al engine) — merged so BENCH_r*.json
     # carries them; reproduce via those scripts.
     extra = {}
-    import os
     here = os.path.dirname(os.path.abspath(__file__))
     for fname, keys in (
             ("northstar_result.json", ("points_per_hour", "tm_p1",
