@@ -48,8 +48,13 @@ def make_kernel(variant: str):
         rc2 = dt(6.25)
 
         def body(i, acc):
-            # fresh "candidate minus mover" diffs (3 sub, 3 mul, 2 add)
-            d0 = a_ref[:] - b_ref[:] * (dt(1.0) + dt(1e-6) * i.astype(dt))
+            # fresh "candidate minus mover" diffs (3 sub, 3 mul, 2 add).
+            # The i-dependent factor (CSE defeat) is computed in f32 and
+            # cast ONCE: Mosaic cannot lower scalar bf16 arith.mulf
+            # (r4 on-chip crash), and the op under test is the VECTOR mul
+            scale = (jnp.float32(1.0)
+                     + jnp.float32(1e-6) * i.astype(jnp.float32)).astype(dt)
+            d0 = a_ref[:] - b_ref[:] * scale
             d1 = a_ref[:] * dt(0.5) - b_ref[:]
             d2 = a_ref[:] - dt(0.5) * b_ref[:]
             r2 = d0 * d0 + d1 * d1 + d2 * d2
@@ -140,8 +145,12 @@ def main():
             interpret=jax.default_backend() != "tpu",
         )
         jfn = jax.jit(fn)
-        out = jfn(av, bv)
-        _ = float(jnp.sum(out))        # readback: honest timing mode
+        try:
+            out = jfn(av, bv)
+            _ = float(jnp.sum(out))    # readback: honest timing mode
+        except Exception as e:         # a variant the lowering rejects
+            print(f"{variant:7s} FAILED: {str(e).splitlines()[0][:120]}")
+            continue                   # must not cost the other variants
         t0 = time.perf_counter()
         iters = 20
         for _ in range(iters):
