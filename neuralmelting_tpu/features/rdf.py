@@ -41,6 +41,14 @@ def rdf_hist(pos, box, nbins: int, rmax: float, row_block: int = 0):
     else:
         rx, ry, rz = px, py, pz
 
+    # Scatter-free histogram: cumulative pair counts at each bin edge,
+    # differenced into per-bin counts. A scatter-add over the flattened
+    # row_block*N index array faults the TPU worker at production scale
+    # (observed: R=1024 x N=4096, docs/evidence_r4.log 06:20Z) and
+    # scatters serialize on TPU anyway; 'nbins' masked reductions over
+    # the same r2 block vectorize cleanly on the VPU.
+    edges2 = ((jnp.arange(nbins, dtype=jnp.float32) + 1.0) * dr) ** 2
+
     def block_fn(start):
         bx = jax.lax.dynamic_slice(rx, (start,), (row_block,))[:, None]
         by = jax.lax.dynamic_slice(ry, (start,), (row_block,))[:, None]
@@ -50,15 +58,18 @@ def rdf_hist(pos, box, nbins: int, rmax: float, row_block: int = 0):
         dz = _mi(bz - pz[None, :], box[2])
         r2 = dx * dx + dy * dy + dz * dz
         gidx = start + jnp.arange(row_block)[:, None]
-        mask = (jnp.arange(n)[None, :] != gidx) & (r2 < rmax * rmax)
-        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
-        bins = jnp.clip((r / dr).astype(jnp.int32), 0, nbins - 1)
-        upd = jnp.where(mask, 1.0, 0.0)
-        return jnp.zeros((nbins,), jnp.float32).at[bins.reshape(-1)].add(
-            upd.reshape(-1))
+        valid = jnp.arange(n)[None, :] != gidx
+        r2 = jnp.where(valid, r2, 1e30)
+
+        def edge_step(c, e2):
+            return c, jnp.sum(jnp.where(r2 < e2, 1.0, 0.0))
+
+        _, cum = jax.lax.scan(edge_step, 0, edges2)
+        return cum                                # (nbins,) cumulative
 
     starts = jnp.arange(nblocks) * row_block
-    counts = jnp.sum(jax.lax.map(block_fn, starts), axis=0) * 0.5
+    cum = jnp.sum(jax.lax.map(block_fn, starts), axis=0) * 0.5
+    counts = jnp.diff(cum, prepend=0.0)
 
     vol = jnp.prod(box)
     rho = n / vol
