@@ -11,9 +11,12 @@ Chebyshev potential evaluation):
 2. points/hour: the config-3 melting sweep (256 atoms, 1 bar,
    10 temperatures 400-2200 K) end-to-end through melting_pipeline
    (sampling -> RDF -> classifier -> T_m), reported as (P,T) points per
-   hour with the extracted T_m next to the gather-engine number from
-   docs/VALIDATION.md (1264 K on this synthetic short-ranged table;
-   experimental Al is NOT expected — the table is synthetic).
+   hour with the extracted T_m next to the gather-engine number
+   re-measured by scripts/eam_tm_ab.py (1778 K, same protocol/seed;
+   experimental Al is NOT expected — the table is synthetic, and both
+   engines share a common lattice-start superheating bias; the
+   cross-engine 0.4% agreement is the validation, see
+   docs/VALIDATION.md correction history).
 
 Writes eambench_result.json and prints one JSON line.
 """
@@ -108,7 +111,7 @@ def bench_melting_sweep():
     dt = time.perf_counter() - t0
     return {
         "sweep_tm_K": float(res.tm[0]),
-        "sweep_tm_gather_engine_K": 1264.0,   # docs/VALIDATION.md config 3
+        "sweep_tm_gather_engine_K": 1778.2,   # eam_tm_ab.json glong leg
         "sweep_points": nt,
         "sweep_seconds": round(dt, 1),
         "sweep_points_per_hour": nt / (dt / 3600.0),
