@@ -87,7 +87,8 @@ def _clenshaw(c_ref, n, a, b, x, scoped=True):
 
 
 def make_eam_sweep_fn(geom: CellGeom, ncyc: int, nser: tuple,
-                      interpret: bool = False, rt: int = RT):
+                      interpret: bool = False, rt: int = RT,
+                      goff: int = 9):
     """Build ``sweep(slabs4, count, params, scal, series3, seeds)``.
 
     slabs4: (x, y, z, rho) each (C*K, Rp); rho is the per-slot density
@@ -95,6 +96,15 @@ def make_eam_sweep_fn(geom: CellGeom, ncyc: int, nser: tuple,
     scal: (8,) f32 [rc2, u_lo, u_hi, q_lo, q_hi, rho_hi, 0, 0].
     series3: (c_phi, c_rho, c_f) coefficient arrays (static lengths
       ``nser``). params/seeds/stats as in the LJ sweep kernel.
+
+    ``goff``: stencil offsets per batched Chebyshev evaluation. The
+    Clenshaw recurrence is a sequential fori_loop (latency/overhead-
+    bound at cell-block sizes), so the kernel concatenates ``goff``
+    offsets' operands and runs ONE recurrence per series per group —
+    ceil(27/goff)*(2 pair-series + 1 embedding) + 1 mover instances per
+    color step instead of 27*3 + 1. Elementwise recurrences on a
+    concatenation are bitwise identical to per-offset calls; only VMEM
+    liveness (~2*goff*cw*K*rt floats per concat) bounds the group size.
     """
     assert geom.stride == 3, "EAM requires stride-3 colors (2w >= 2rc)"
     assert geom.nsub == 1, "EAM: one mover per cell (same-cell coupling)"
@@ -180,50 +190,75 @@ def make_eam_sweep_fn(geom: CellGeom, ncyc: int, nser: tuple,
             de_emb = jnp.zeros((cw, rt), jnp.float32)
             drho_m = jnp.zeros((cw, rt), jnp.float32)
             drho_blocks = []          # per offset: (cw, k, rt)
+            rho_blocks = []           # per offset: (cw, k, rt)
+            mask_on = []              # per offset: (mo, mn_)
 
-            for off in OFF27:
-                own = off == (0, 0, 0)
-                if own:
-                    cnd = [bx, by, bz]
-                    rho_c = brho
-                else:
-                    cnd = [aligned_block(r, a, sbits, off, lvec)
-                           .reshape(cw, k, rt)
-                           for a, r in enumerate((ox_ref, oy_ref, oz_ref))]
-                    rho_c = aligned_block(orho_ref, None, sbits, off,
-                                          lvec).reshape(cw, k, rt)
-                candv = cnd[0] < 0.1 * INVALID
-                if own:
-                    candv = candv & ~onehot      # exclude the mover itself
+            def u_of(cnd, p):
+                d0 = cnd[0] - p[0][:, None, :]
+                d1 = cnd[1] - p[1][:, None, :]
+                d2 = cnd[2] - p[2][:, None, :]
+                return d0 * d0 + d1 * d1 + d2 * d2
 
-                def u_of(p):
-                    d0 = cnd[0] - p[0][:, None, :]
-                    d1 = cnd[1] - p[1][:, None, :]
-                    d2 = cnd[2] - p[2][:, None, :]
-                    return d0 * d0 + d1 * d1 + d2 * d2
+            # phase A+B: per GROUP of goff offsets, compute candidate
+            # r^2 forms, then ONE frho and ONE phi recurrence over the
+            # whole group ([old_0..old_g; new_0..new_g] stacked —
+            # elementwise, so bitwise equal to per-offset evaluation)
+            for g0 in range(0, len(OFF27), goff):
+                grp = OFF27[g0:g0 + goff]
+                uos, uns = [], []
+                for off in grp:
+                    own = off == (0, 0, 0)
+                    if own:
+                        cnd = [bx, by, bz]
+                        rho_c = brho
+                    else:
+                        cnd = [aligned_block(r, a, sbits, off, lvec)
+                               .reshape(cw, k, rt)
+                               for a, r in enumerate((ox_ref, oy_ref,
+                                                      oz_ref))]
+                        rho_c = aligned_block(orho_ref, None, sbits, off,
+                                              lvec).reshape(cw, k, rt)
+                    candv = cnd[0] < 0.1 * INVALID
+                    if own:
+                        candv = candv & ~onehot  # exclude mover itself
+                    uo = u_of(cnd, m)
+                    un = u_of(cnd, mn)
+                    mask_on.append((candv & (uo < rc2), candv & (un < rc2)))
+                    rho_blocks.append(rho_c)
+                    uos.append(uo)
+                    uns.append(un)
+                ng = len(grp)
+                u_cat = jnp.concatenate(uos + uns, axis=0)
+                f_cat = frho(u_cat)
+                p_cat = phi(u_cat)
+                for i in range(ng):
+                    mo, mn_ = mask_on[g0 + i]
+                    fo = jnp.where(mo, f_cat[i * cw:(i + 1) * cw], 0.0)
+                    fn = jnp.where(
+                        mn_, f_cat[(ng + i) * cw:(ng + i + 1) * cw], 0.0)
+                    de_pair = de_pair + jnp.sum(
+                        jnp.where(mn_,
+                                  p_cat[(ng + i) * cw:(ng + i + 1) * cw],
+                                  0.0)
+                        - jnp.where(mo, p_cat[i * cw:(i + 1) * cw], 0.0),
+                        axis=1)
+                    drho_c = fn - fo                          # (cw, k, rt)
+                    drho_blocks.append(drho_c)
+                    drho_m = drho_m + jnp.sum(drho_c, axis=1)
 
-                uo = u_of(m)
-                un = u_of(mn)
-                mo = candv & (uo < rc2)
-                mn_ = candv & (un < rc2)
-                # one Clenshaw per series over [old; new] stacked: the
-                # recurrence is a latency-bound sequential loop, so
-                # halving instance count ~halves the kernel's critical
-                # path (docs/tpu_notes.md §5)
-                uon = jnp.concatenate([uo, un], axis=0)
-                f_on = frho(uon)
-                p_on = phi(uon)
-                fo = jnp.where(mo, f_on[:cw], 0.0)
-                fn = jnp.where(mn_, f_on[cw:], 0.0)
-                de_pair = de_pair + jnp.sum(
-                    jnp.where(mn_, p_on[cw:], 0.0)
-                    - jnp.where(mo, p_on[:cw], 0.0), axis=1)
-                drho_c = fn - fo                              # (cw, k, rt)
-                drho_blocks.append(drho_c)
-                drho_m = drho_m + jnp.sum(drho_c, axis=1)
-                f_rr = femb(jnp.concatenate([rho_c + drho_c, rho_c],
-                                            axis=0))
-                de_emb = de_emb + jnp.sum(f_rr[:cw] - f_rr[cw:], axis=1)
+            # phase C: embedding differences, one femb recurrence per
+            # group over [rho+drho_0..; rho_0..] stacked
+            for g0 in range(0, len(OFF27), goff):
+                ng = len(OFF27[g0:g0 + goff])
+                r_cat = jnp.concatenate(
+                    [rho_blocks[g0 + i] + drho_blocks[g0 + i]
+                     for i in range(ng)]
+                    + [rho_blocks[g0 + i] for i in range(ng)], axis=0)
+                f_rr = femb(r_cat)
+                for i in range(ng):
+                    de_emb = de_emb + jnp.sum(
+                        f_rr[i * cw:(i + 1) * cw]
+                        - f_rr[(ng + i) * cw:(ng + i + 1) * cw], axis=1)
 
             f_mm = femb(jnp.concatenate([rho_m + drho_m, rho_m],
                                          axis=0))
