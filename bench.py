@@ -185,6 +185,26 @@ def main():
                     + jnp.sum(setup.states.ntv - ntv_a))
     rate = attempted / (t2 - t1)
 
+    # end-to-end row (VERDICT r4 directive #8): one PRODUCTION
+    # runner.run_sampling chunk at the identical scale — step-size
+    # adaptation on, records, geometry maintenance (kcap hysteresis,
+    # overflow retry), host readbacks — so BENCH carries the system
+    # number next to the kernel number and the orchestration gap is
+    # driver-visible. First call compiles; the second is timed.
+    setup, *_ = runner.run_sampling(setup, write_files=False,
+                                    write_traj=False)
+    ntp_b = setup.states.ntp + 0
+    ntv_b = setup.states.ntv + 0
+    _ = float(jnp.sum(setup.states.pos))
+    t3 = time.perf_counter()
+    setup, _recs, _frames, _hist, _xacc, e2e_diag = runner.run_sampling(
+        setup, write_files=False, write_traj=False)
+    _ = float(jnp.sum(setup.states.pos))
+    t4 = time.perf_counter()
+    e2e_attempted = int(jnp.sum(setup.states.ntp - ntp_b)
+                        + jnp.sum(setup.states.ntv - ntv_b))
+    e2e_rate = e2e_attempted / (t4 - t3)
+
     # companion rows recorded by scripts/northstar.py (end-to-end
     # pipeline at this scale: (P,T)-points/hour + melt-T check) and
     # scripts/eambench.py (EAM-Al engine) — merged so BENCH_r*.json
@@ -195,7 +215,8 @@ def main():
             ("northstar_result.json", ("points_per_hour", "tm_p1",
                                        "tm_p1_rel_err", "pass_2pct",
                                        "diag", "total_seconds",
-                                       "feature_train_seconds")),
+                                       "feature_train_seconds",
+                                       "breakdown", "bracket")),
             ("eambench_result.json", ("eam_moves_per_sec", "eam_natoms",
                                       "eam_diag", "sweep_tm_K",
                                       "sweep_points_per_hour")),
@@ -227,6 +248,9 @@ def main():
             "sec_per_chunk": (t2 - t1) / nchunks,
             "sweeps_total": int(setup.states.sweep[0]),
             "diag": diag_v,
+            "e2e_moves_per_sec": e2e_rate,
+            "e2e_sec_per_chunk": t4 - t3,
+            "e2e_diag": int(e2e_diag),
             "engine": "cellmc-pallas",
             "fast_recip": fast_recip,
             "device": str(jax.devices()[0]),

@@ -65,11 +65,13 @@ def rdf_hist(pos, box, nbins: int, rmax: float, row_block: int = 0):
             return c, jnp.sum(jnp.where(r2 < e2, 1.0, 0.0))
 
         _, cum = jax.lax.scan(edge_step, 0, edges2)
-        return cum                                # (nbins,) cumulative
+        # difference PER BLOCK: block cumulatives stay < row_block*N
+        # (~2^21), so f32 diffs are exact; differencing the global sum
+        # instead would hit the 2^24 f32 integer ceiling at large N
+        return jnp.diff(cum, prepend=0.0)         # (nbins,) per-bin
 
     starts = jnp.arange(nblocks) * row_block
-    cum = jnp.sum(jax.lax.map(block_fn, starts), axis=0) * 0.5
-    counts = jnp.diff(cum, prepend=0.0)
+    counts = jnp.sum(jax.lax.map(block_fn, starts), axis=0) * 0.5
 
     vol = jnp.prod(box)
     rho = n / vol

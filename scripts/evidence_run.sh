@@ -1,68 +1,88 @@
 #!/bin/bash
-# Round-4 on-chip evidence package (VERDICT r3 next #1) — run at every
-# tunnel window, cheapest-first so a short window still lands artifacts:
-#   1. compiled-vs-interpret A/B        -> ab_result.json        (commit)
-#   2. kbench fast_recip kernel A/B     -> log
-#   3. bench.py exact + NM_FAST_RECIP=1 -> bench_progression_r4.json
-#   4. eambench                         -> eambench_result.json  (commit)
-#   5. northstar full scale             -> northstar_result.json (commit)
-# Each step logs to docs/evidence_r4.log and commits its artifact so a
+# On-chip evidence runner (one script, parameterized — VERDICT r4 #9).
+# Usage: scripts/evidence_run.sh [stage ...]     (default: all stages)
+# Stages, cheapest-first so a short tunnel window still lands artifacts:
+#   ab        compiled-vs-interpret bitwise A/B      -> ab_result.json
+#   bench     headline kernel + e2e rows             -> log
+#   eambench  EAM engine throughput + melting sweep  -> eambench_result.json
+#   tmab      EAM cross-engine T_m A/B (+brackets)   -> eam_tm_ab.json
+#   northstar full-scale resumable pipeline run      -> northstar_result.json
+# Each stage logs to $LOG and commits its artifact immediately, so a
 # mid-package outage keeps everything landed so far.
 set -u
 cd /root/repo
-LOG=docs/evidence_r4.log
+ROUND=${NM_ROUND:-5}
+LOG=docs/evidence_r${ROUND}.log
 stamp() { date -u "+%Y-%m-%dT%H:%M:%SZ"; }
 say() { echo "[$(stamp)] $*" | tee -a "$LOG"; }
 commit_art() {  # commit_art <msg> <files...>
     local msg="$1"; shift
-    # add each path separately: one missing pathspec must not abort the
-    # whole add (git add a b-missing stages NOTHING)
     local f
-    for f in "$@" "$LOG" docs/bench_progression_r4.json; do
-        [ -e "$f" ] && git add -- "$f"
+    for f in "$@"; do
+        [ -e "$f" ] && git add "$f"
     done
-    git commit -q -m "$msg" 2>/dev/null && say "committed: $msg"
+    git add "$LOG" 2>/dev/null
+    git commit -q -m "$msg" && say "committed: $msg"
 }
 
-say "=== evidence package start (port 8082 $(timeout 3 bash -c \
-    'echo > /dev/tcp/127.0.0.1/8082' 2>/dev/null && echo open || echo CLOSED)) ==="
+run_ab() {
+    say "=== ab: compiled-vs-interpret A/B ==="
+    timeout 1800 python scripts/ab_interpret.py >>"$LOG" 2>&1
+    say "ab rc=$?"
+    commit_art "On-chip evidence: compiled-vs-interpret A/B" ab_result.json
+}
 
-say "step 1: compiled-vs-interpret A/B"
-timeout 3600 python scripts/ab_interpret.py >> "$LOG" 2>&1
-RC=$?
-say "ab_interpret rc=$RC"
-[ -f ab_result.json ] && commit_art "On-chip evidence: compiled-vs-interpret A/B artifact" ab_result.json
+run_bench() {
+    say "=== bench: headline + e2e rows ==="
+    timeout 3600 python bench.py >>"$LOG" 2>&1
+    say "bench rc=$?"
+    timeout 1200 python scripts/record_progression.py >>"$LOG" 2>&1 || true
+    commit_art "On-chip evidence: bench headline + e2e rows" \
+        docs/bench_progression_r${ROUND}.json
+}
 
-say "step 2: kbench fast_recip kernel A/B (48:16 vs 48:16:r)"
-timeout 3600 python scripts/kbench.py 48:16 48:16:r >> "$LOG" 2>&1
-say "kbench rc=$?"
-commit_art "On-chip evidence: kbench fast_recip A/B log" "$LOG"
+run_eambench() {
+    say "=== eambench: EAM throughput + sweep ==="
+    timeout 5400 python scripts/eambench.py >>"$LOG" 2>&1
+    say "eambench rc=$?"
+    commit_art "On-chip evidence: EAM engine benchmark" eambench_result.json
+}
 
-say "step 3a: bench.py (exact divide)"
-NM_BENCH_WAIT_SECS=600 timeout 5400 python bench.py 2>>"$LOG" \
-    | python scripts/record_progression.py "r4 exact-divide (sigma-fix recompile)" >> "$LOG" 2>&1
-say "bench rc=$?"
-commit_art "On-chip evidence: r4 bench progression (exact divide)"
+run_tmab() {
+    say "=== tmab: EAM T_m cross-engine A/B + brackets ==="
+    timeout 7200 python scripts/eam_tm_ab.py clong ccool >>"$LOG" 2>&1
+    say "tmab rc=$?"
+    commit_art "On-chip evidence: EAM T_m A/B with hysteresis bracket" \
+        eam_tm_ab.json
+}
 
-say "step 3b: bench.py NM_FAST_RECIP=1"
-NM_FAST_RECIP=1 NM_BENCH_WAIT_SECS=600 timeout 5400 python bench.py 2>>"$LOG" \
-    | python scripts/record_progression.py "r4 fast_recip epilogue" >> "$LOG" 2>&1
-say "bench fast_recip rc=$?"
-commit_art "On-chip evidence: r4 bench progression (fast_recip)"
+run_longrc() {
+    say "=== longrc: EAM at published-table cutoff (rc=6.3, 7^3 box) ==="
+    timeout 3600 python scripts/longrc_run.py >>"$LOG" 2>&1
+    say "longrc rc=$?"
+    commit_art "On-chip evidence: long-rc EAM drop-in run (rc=6.3, 1372 atoms)" \
+        longrc_result.json
+}
 
-say "step 4: eambench"
-timeout 7200 python scripts/eambench.py >> "$LOG" 2>&1
-say "eambench rc=$?"
-[ -f eambench_result.json ] && commit_art "On-chip evidence: EAM bench artifact" eambench_result.json
+run_northstar() {
+    say "=== northstar: full-scale resumable pipeline ==="
+    for attempt in $(seq 1 12); do
+        say "northstar attempt $attempt"
+        timeout 5400 python scripts/northstar2.py --cool >>"$LOG" 2>&1
+        rc=$?
+        say "northstar attempt $attempt rc=$rc"
+        if [ $rc -eq 0 ] && [ -f northstar_result.json ]; then
+            break
+        fi
+        sleep 30
+    done
+    commit_art "On-chip evidence: full-scale northstar run" \
+        northstar_result.json ns_state/progress.json
+}
 
-say "step 4b: occupancy study (band-kcap decision data; reuses bench compile)"
-timeout 5400 python scripts/occupancy_study.py >> "$LOG" 2>&1
-say "occupancy rc=$?"
-[ -f occupancy_result.json ] && commit_art "On-chip evidence: per-replica occupancy distribution (band-kcap decision)" occupancy_result.json
-
-say "step 5: northstar (full scale)"
-timeout 14400 python scripts/northstar.py >> "$LOG" 2>&1
-say "northstar rc=$?"
-[ -f northstar_result.json ] && commit_art "On-chip evidence: north-star pipeline artifact" northstar_result.json
-
-say "=== evidence package end ==="
+STAGES=${*:-ab bench eambench tmab longrc northstar}
+say "=== evidence_run: stages [$STAGES] ==="
+for s in $STAGES; do
+    "run_$s" || say "stage $s FAILED"
+done
+say "=== evidence_run: done ==="

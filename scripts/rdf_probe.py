@@ -87,9 +87,7 @@ def run(tag, fn):
     g = fn(pos, boxes)
     gn = np.asarray(g)
     dt = time.perf_counter() - t0
-    print(f"{tag}: ok {dt:.1f}s shape={gn.shape} finite={np.isfinite(gn).all()}"
-          f" mean_g~1: {gn[:, nb // 2:].mean():.3f}" if False else
-          f"{tag}: ok {dt:.1f}s shape={gn.shape} "
+    print(f"{tag}: ok {dt:.1f}s shape={gn.shape} "
           f"finite={np.isfinite(gn).all()} tail_mean={gn[:, -8:].mean():.3f}",
           flush=True)
 
