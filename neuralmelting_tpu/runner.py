@@ -368,6 +368,37 @@ def _refresh_cellmc_geom(setup: RunSetup) -> RunSetup:
     return setup
 
 
+def liquid_start(setup: RunSetup, nrecords: int = 5,
+                 overheat: float = 1.3) -> RunSetup:
+    """Pre-melt the ensemble for a cooling-leg (hysteresis) run.
+
+    Every T_m in a lattice-start heating sweep overshoots: a perfect
+    crystal survives above the true melting point (superheating), and
+    nothing bounds the bias (VERDICT r4 weak #5). The cooling leg needs
+    the opposite initial condition — a LIQUID at every (P, T), which
+    only refreezes below T_m (undercooling) — so the pair of runs
+    brackets the truth: T_cool <= T_m <= T_heat.
+
+    Implementation: pin every replica's temperature to overheat *
+    max(T_grid) (well above melting for every pressure on the grid),
+    sample ``nrecords`` record blocks to melt, then restore each
+    replica's true slot temperature. Positions/boxes/caches carry over;
+    pe/virial are exact at the record boundary (MCState contract)."""
+    t_hot = jnp.full_like(setup.t_grid, overheat * float(
+        jnp.max(setup.t_grid)))
+    hot = dataclasses.replace(
+        setup, t_grid=t_hot,
+        states=setup.states.replace(temp=t_hot[setup.slot_of]))
+    hot, _recs, _frames, _hist, _xacc, diag = run_sampling(
+        hot, write_files=False, write_traj=False, nrecords=nrecords)
+    if int(diag) != 0:
+        import warnings
+        warnings.warn(f"liquid_start melt leg finished with diag={int(diag)}",
+                      RuntimeWarning, stacklevel=2)
+    st = hot.states.replace(temp=setup.t_grid[hot.slot_of])
+    return dataclasses.replace(hot, states=st, t_grid=setup.t_grid)
+
+
 def nvol_per_sweep(cfg: RunConfig, natoms: int) -> int:
     """Volume attempts per sweep from the reference's per-move probability,
     capped so full-energy recomputes don't dominate at large N."""

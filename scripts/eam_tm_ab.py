@@ -58,12 +58,30 @@ def make_cfg(protocol: str) -> RunConfig:
                      **base)   # docs/VALIDATION.md config 3
 
 
-LEGS = {
-    "gshort": ("gather", "short"),
-    "glong": ("gather", "long"),
-    "cshort": ("cellmc", "short"),
-    "clong": ("cellmc", "long"),
+LEGS = {                      # (engine, protocol, init)
+    "gshort": ("gather", "short", "lattice"),
+    "glong": ("gather", "long", "lattice"),
+    "cshort": ("cellmc", "short", "lattice"),
+    "clong": ("cellmc", "long", "lattice"),
+    # cooling legs (VERDICT r4 directive #4): liquid start -> the
+    # crossing is the refreeze estimate; [cool, heat] brackets T_m
+    "gcool": ("gather", "long", "liquid"),
+    "ccool": ("cellmc", "long", "liquid"),
 }
+
+
+def _brackets(res):
+    """Hysteresis brackets [T_cool, T_heat] per engine where both legs
+    exist. The heating leg superheats, the cooling leg undercools; the
+    true T_m lies inside."""
+    out = {}
+    for eng, heat, cool in (("gather", "glong", "gcool"),
+                            ("cellmc", "clong", "ccool")):
+        if heat in res and cool in res:
+            th, tc = res[heat]["tm_K"], res[cool]["tm_K"]
+            out[eng] = {"tm_bracket_K": [min(th, tc), max(th, tc)],
+                        "width_K": abs(th - tc)}
+    return out
 
 
 def main():
@@ -73,19 +91,32 @@ def main():
         with open(OUT) as f:
             res = json.load(f)
     res["device"] = str(jax.devices()[0])
-    for leg in sys.argv[1:] or ["gshort", "glong"]:
-        engine, protocol = LEGS[leg]
+    heat_of = {"gcool": "glong", "ccool": "clong"}
+    in_mem = {}                 # leg -> MeltingResult (this process)
+    legs = list(sys.argv[1:] or ["gshort", "glong"])
+    # a cooling leg applies its heating leg's classifier (extreme-T
+    # labels are invalid on a liquid start — pipeline docstring), so
+    # the heating leg must run IN THIS PROCESS first
+    for leg in list(legs):
+        h = heat_of.get(leg)
+        if h and h not in legs[:legs.index(leg)]:
+            legs.insert(legs.index(leg), h)
+    for leg in legs:
+        engine, protocol, init = LEGS[leg]
         t0 = time.perf_counter()
         r = melting_pipeline(make_cfg(protocol), setfl=SETFL,
-                             engine=engine, nbins=48)
+                             engine=engine, nbins=48, init=init,
+                             classify_with=in_mem.get(heat_of.get(leg)))
+        in_mem[leg] = r
         dt = time.perf_counter() - t0
         res[leg] = {
-            "engine": engine, "protocol": protocol,
+            "engine": engine, "protocol": protocol, "init": init,
             "tm_K": float(r.tm[0]), "diag": r.diag,
             "seconds": round(dt, 1),
             "probs": [round(float(p), 3) for p in r.probs[0]],
         }
         print(leg, json.dumps(res[leg]), flush=True)
+        res["brackets"] = _brackets(res)
         with open(OUT, "w") as f:
             json.dump(res, f, indent=1)
 

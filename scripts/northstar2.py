@@ -181,18 +181,34 @@ def featurize_chunk(frames, hist, rmax):
 
 def train_and_fit(setup, feats, box_mean, npress, ntemp, natoms, rmax):
     """Classifier (extreme-T labels) + sigmoid T_m fit. Returns
-    (tms, widths, (q, sq))."""
+    (tms, widths, (q, sq), classifier) where classifier =
+    (net, params, fitted scaler) for re-use on a cooling leg."""
     q, sq = structure_factor(feats, box_mean, natoms, rmax)
     sc = get_scaler("tanh")
     x = sc.fit_transform(feats)
     band = max(1, ntemp // 8)
     mask1, labels1 = extreme_t_labels(ntemp, band)
-    res = train_classifier(PhaseCNN(), x, jnp.tile(mask1, npress),
+    net = PhaseCNN()
+    res = train_classifier(net, x, jnp.tile(mask1, npress),
                            jnp.tile(labels1, npress), jax.random.key(3),
                            epochs=400, lr=2e-3)
     probs = np.asarray(res.probs).reshape(npress, ntemp)
     tms, widths = melting_curve(setup.temp, probs)
-    return tms, widths, (np.asarray(q), np.asarray(sq))
+    return tms, widths, (np.asarray(q), np.asarray(sq)), (net, res.params,
+                                                          sc)
+
+
+def apply_and_fit(setup, clf, feats, npress, ntemp):
+    """Apply a TRAINED classifier (heating leg's) to new features.
+    Extreme-T labels are invalid on a liquid-start ensemble (the bottom
+    band need not have refrozen), so the cooling leg must NOT retrain —
+    measured: a fast-tier cooling leg retrained in-leg reported its
+    crossing ABOVE the heating leg's."""
+    net, params, sc = clf
+    x = sc.transform(feats)
+    probs = np.asarray(jax.nn.sigmoid(net.apply(params, x)))
+    probs = probs.reshape(npress, ntemp)
+    return melting_curve(setup.temp, probs)
 
 
 def main():
@@ -280,8 +296,8 @@ def main():
         bs.append(z["box"])
     feats = jnp.asarray(np.mean(gs, axis=0), jnp.float32)   # (R, nbins)
     box_mean = jnp.asarray(np.mean(bs, axis=0))
-    tms, widths, (q, sq) = train_and_fit(setup, feats, box_mean,
-                                         npress, ntemp, natoms, rmax)
+    tms, widths, (q, sq), clf = train_and_fit(setup, feats, box_mean,
+                                              npress, ntemp, natoms, rmax)
     np.savez(os.path.join(STATE, "sq.npz"), q=q, sq=sq)
     train_secs = time.perf_counter() - t0
 
@@ -374,8 +390,7 @@ def main():
             bs2.append(b2)
         feats2 = jnp.asarray(np.mean(gs2, axis=0), jnp.float32)
         box2 = jnp.asarray(np.mean(bs2, axis=0))
-        tms2, _, _ = train_and_fit(setup, feats2, box2,
-                                   npress, ntemp, natoms, rmax)
+        tms2, _ = apply_and_fit(setup, clf, feats2, npress, ntemp)
         cool_secs = time.perf_counter() - cool_secs0
         lo = [float(min(a, b)) for a, b in zip(tms, tms2)]
         hi = [float(max(a, b)) for a, b in zip(tms, tms2)]

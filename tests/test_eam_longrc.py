@@ -3,13 +3,15 @@
 Published Al tables (Al99.eam.alloy-style) carry rc ~ 6.3 A — much
 longer than the rc=3.8 bench table every prior round exercised. The
 long cutoff changes the production geometry regime entirely: stride-3
-cells must be >= rc/(1-margin) = 6.63 A wide, so a 5^3-supercell box
-(20.25 A) bins into the minimum 3^3 = 27 cells at ~18.5 atoms/cell —
-well above the bench table's 16-slot regime. This smoke test
-drives the --setfl drop-in path (parser -> spline -> Chebyshev refit ->
-slab binning -> total kernel) end-to-end at that range and pins the
-energy to the brute O(N^2) Chebyshev oracle; the at-scale (7^3) on-chip
-run record comes from scripts/longrc_run.py.
+cells must be >= rc wide, so a 5^3-supercell box (20.25 A) bins into
+the minimum 3^3 = 27 cells at ~18.5 atoms/cell — well above the bench
+table's 16-slot regime.
+
+Fast tier: the formal drop-in path (parser -> spline -> Chebyshev refit
+-> cell geometry) at the long range. Slow tier: the production engine's
+total kernel at that geometry pinned to the brute O(N^2) oracle (the
+CPU interpret-mode kernel pass alone costs ~1 min; the at-scale on-chip
+record comes from scripts/longrc_run.py).
 """
 
 import numpy as np
@@ -19,8 +21,10 @@ import jax.numpy as jnp
 
 from neuralmelting_tpu import runner
 from neuralmelting_tpu.config import RunConfig
+from neuralmelting_tpu.models import eam as EAM
 from neuralmelting_tpu.models import eam_cheb as EC
 from neuralmelting_tpu.models import eam_gen
+from neuralmelting_tpu.ops.pallas import cellmc as CMK
 
 RC_LONG = 6.3
 
@@ -39,6 +43,23 @@ def brute_cheb_pe(ch, pos, box):
     return float(0.5 * phi.sum() + femb.sum())
 
 
+def test_longrc_refit_and_geometry(tmp_path):
+    """Fast: setfl at rc=6.3 parses, refits, and produces the minimum
+    3^3 stride-3 geometry with the kcap the ~18.5-atom cells need."""
+    path = str(tmp_path / "Al_longrc.eam.alloy")
+    eam_gen.write_setfl(path, rc=RC_LONG, rs=5.1)
+    pot = EAM.load(path)
+    assert float(pot.rc_host) == pytest.approx(RC_LONG)
+    ch = EC.from_spline(pot)
+    # refit quality holds at the long range (errors recorded on the pot)
+    assert max(ch.fit_err) < 5e-4
+    box = np.array([5, 5, 5], float) * 4.05      # 500-atom supercell
+    geom = CMK.make_geom(box, float(ch.rc_host), 500, nsub=1, stride=3)
+    assert geom.ncell == (3, 3, 3)
+    assert geom.kcap >= 24          # ~18.5 atoms/cell mean occupancy
+
+
+@pytest.mark.slow
 def test_longrc_setfl_dropin(tmp_path):
     path = str(tmp_path / "Al_longrc.eam.alloy")
     eam_gen.write_setfl(path, rc=RC_LONG, rs=5.1)
