@@ -87,6 +87,60 @@ def main():
             0.05 + 5e-4 * abs(float(pe_b))
     print(f"[{pid}] MH2 CELLMC PASS pe={pe3[0, 0]:.2f}", flush=True)
 
+    # --- EAM production engine across the REAL process boundary
+    # (VERDICT r4 directive #6): the density-slab + shared-rebin
+    # invariants previously had only single-process virtual-mesh
+    # coverage (test_cellmc_sharded.py). Here the stride-3 EAM sharded
+    # style runs with the replica axis split across two gloo-connected
+    # processes: diag == 0 asserts DIAG_SHIFT_DESYNC stayed clear (the
+    # rebin draw is shard-folded and compared across shards), and the
+    # record pe must match a brute O(N^2) Chebyshev total of the
+    # host-gathered final state (density slab transported correctly
+    # through shard_map + DCN tempering).
+    from neuralmelting_tpu.models import eam_cheb as EC
+    from neuralmelting_tpu.models import eam_gen
+
+    setfl = os.path.join(outdir, f"mh2_Al_{pid}.eam.alloy")
+    eam_gen.write_setfl(setfl)        # per-process file: no write race
+    cfg5 = RunConfig(name="mh2e", element="AL", ncells=(5, 5, 5),
+                     npress=1, ntemp=ndev, press=(1.0,),
+                     temp=tuple(np.linspace(300.0, 1500.0, ndev)),
+                     nsmpl=1, mod=2, seed=17, dpos0=0.12, dvol0=0.004)
+    setup5 = runner.setup_run(cfg5, setfl=setfl, engine="cellmc")
+    assert setup5.style == "eam"
+    assert not setup5.states.pos.is_fully_addressable   # really sharded
+    setup5, recs5, frames5, hist5, xacc5, diag5 = runner.run_sampling(
+        setup5, outdir=None, write_files=False, write_traj=False)
+    assert int(diag5) == 0            # incl. DIAG_SHIFT_DESYNC
+    pe5 = np.asarray(recs5.pe)
+    assert pe5.shape == (1, ndev), pe5.shape
+    assert sorted(np.asarray(hist5)[0].tolist()) == list(range(ndev))
+    pos5, box5, peh5 = host_fetch((setup5.states.pos, setup5.states.box,
+                                   setup5.states.pe))
+    ch = setup5.pot                   # EAMCheb (the sampled potential)
+    import jax.numpy as jnp
+
+    def brute_cheb(pos, box):
+        d = pos[:, None, :] - pos[None, :, :]
+        d -= box * jnp.round(d / box)
+        u = (d ** 2).sum(-1)
+        nn = pos.shape[0]
+        mask = (u < ch.rc * ch.rc) & ~jnp.eye(nn, dtype=bool)
+        phi = jnp.where(mask, EC.cheb_eval(ch.c_phi, ch.u_lo, ch.u_hi, u),
+                        0.0)
+        fr = jnp.where(mask, EC.cheb_eval(ch.c_rho, ch.u_lo, ch.u_hi, u),
+                       0.0)
+        rho = fr.sum(-1)
+        q = jnp.sqrt(jnp.clip(rho, 0.0, ch.rho_hi))
+        femb = EC.cheb_eval(ch.c_f, ch.q_lo, jnp.sqrt(ch.rho_hi), q)
+        return 0.5 * phi.sum() + femb.sum()
+
+    for rr in (0, ndev - 1):
+        pe_b = float(brute_cheb(np.asarray(pos5)[rr], np.asarray(box5)[rr]))
+        assert abs(float(np.asarray(peh5)[rr]) - pe_b) < \
+            0.02 + 1e-4 * abs(pe_b)
+    print(f"[{pid}] MH2 EAM PASS pe={pe5[0, 0]:.2f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -102,6 +102,7 @@ def test_rebin_axis_preserves_atoms():
                           ((4, 4, 4), 2, True, 1.0),
                           ((4, 4, 4), 2, False, 1.2),
                           ((4, 4, 4), 2, True, 1.2)])
+@pytest.mark.slow
 def test_sweep_pe_identity_and_confinement(ncells, ncyc, fast_recip, sigma):
     """pe bookkeeping == brute force, and atoms never leave their cells.
 
@@ -146,6 +147,7 @@ def test_sweep_pe_identity_and_confinement(ncells, ncyc, fast_recip, sigma):
             assert bad.sum() == 0
 
 
+@pytest.mark.slow
 def test_sweep_reproducible():
     """Same seeds -> bit-identical slabs (threefry is counter-based)."""
     pot, geom, pos, box, shift = _setup()

@@ -93,6 +93,7 @@ def _params(box, geom, temps, dpos=0.15):
         jnp.full((r,), box[2])])
 
 
+@pytest.mark.slow
 def test_eam_total_energy_virial(cheb):
     ch, geom, pos, box, shift = _setup(cheb)
     x, y, z, ids, count, over = CM.bin_initial(geom, pos, box, shift)
@@ -129,6 +130,7 @@ def test_eam_total_energy_virial(cheb):
     assert abs(float(st[1, 0]) + w_fd) / max(1.0, abs(w_fd)) < 1e-3
 
 
+@pytest.mark.slow
 def test_eam_sweep_pe_and_rho_tracking(cheb):
     """Incremental dE and the density cache match brute recomputation."""
     ch, geom, pos, box, shift = _setup(cheb)

@@ -14,6 +14,9 @@ Interpret-mode kernels on CPU (tests/conftest.py).
 """
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow   # full-engine statistical chains; the measured wall of the old default tier
 
 import jax
 import jax.numpy as jnp

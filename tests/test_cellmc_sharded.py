@@ -25,6 +25,7 @@ from neuralmelting_tpu.sampler import cellmc as SC
 from neuralmelting_tpu.sampler.state import ensemble_init
 
 
+@pytest.mark.slow
 def test_cellmc_sharded_runner():
     devices = jax.devices("cpu")
     assert len(devices) == 8, "conftest must provide 8 virtual devices"

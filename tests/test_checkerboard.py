@@ -32,6 +32,7 @@ def _make(ncells=4, temps=(1.0,), presses=(2.0,), a=1.6, seed=3,
     return pot, states, cellcfg, box
 
 
+@pytest.mark.slow
 def test_cb_energy_cache_consistency():
     pot, states, cellcfg, _ = _make(temps=(0.8, 1.5), presses=(1.0, 3.0))
     nls, cap = ENS.build_ensemble_nl(pot, states, skin=0.4)
@@ -66,6 +67,7 @@ def test_cb_counters_move_budget():
     assert 0.0 <= float(recs.acc_pos[0, 0]) <= 1.0
 
 
+@pytest.mark.slow
 def test_ideal_gas_npt_volume():
     """eps=0: <V> must equal (N+1) kT / P (linear-V NPT weight)."""
     pot = LJCut.create(eps=0.0, sigma=1.0, rc=0.5)

@@ -1,6 +1,7 @@
 """Dense (ghost + MXU matmul) path vs the gather/neighbor-list oracle."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -123,6 +124,7 @@ def test_apply_moves_updates_ghosts():
                 pe[s] - np.asarray(gm.pos_ext)[s], delta[0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dense_mc_matches_gather_statistics():
     """Dense sampler equilibrium agrees with brute-force total energies."""
     pot = LJCut.create()
@@ -153,6 +155,7 @@ def test_dense_mc_matches_gather_statistics():
     assert float(states.pe[0]) < float(states.pe[1])
 
 
+@pytest.mark.slow
 def test_dense_runner_with_exchange():
     """Dense engine through the production runner incl. tempering."""
     import numpy as np

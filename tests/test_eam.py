@@ -130,6 +130,7 @@ def test_forces_are_negative_gradient(eam, al_crystal):
     np.testing.assert_allclose(f, -g, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_eam_checkerboard_mc_runs(al_crystal):
     """Short NPT MC on synthetic Al via the full ensemble machinery."""
     from neuralmelting_tpu.ops import cells as cells_ops

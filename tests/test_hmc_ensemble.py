@@ -1,6 +1,7 @@
 """HMC (hybrid MC) coverage in the batched ensemble (SURVEY.md §2.4)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,6 +31,7 @@ def test_hmc_energy_conservation_small_dt():
     assert acc == 5, f"only {acc}/5 tiny-dt HMC moves accepted"
 
 
+@pytest.mark.slow
 def test_ensemble_with_hmc_moves():
     pot = LJCut.create()
     pos, box = make_supercell("fcc", 1.6, 4)

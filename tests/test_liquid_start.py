@@ -10,6 +10,7 @@ grid (per-slot; replica order may change through tempering swaps).
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -17,6 +18,7 @@ from neuralmelting_tpu import runner
 from neuralmelting_tpu.config import RunConfig
 
 
+@pytest.mark.slow
 def test_liquid_start_melts_and_restores_grid():
     cfg = RunConfig(name="liq", element="LJ", ncells=(3, 3, 3),
                     npress=1, ntemp=4, press=(1.0,),

@@ -7,6 +7,9 @@ runner relies on (no-op init, identity fetch, writer gating True).
 """
 
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow   # two-process gloo run (900 s budget; README always claimed slow tier)
 import jax.numpy as jnp
 
 from neuralmelting_tpu.parallel.mesh import host_fetch, init_multihost

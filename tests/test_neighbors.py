@@ -1,5 +1,6 @@
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from neuralmelting_tpu.models.lattice import make_supercell
@@ -61,6 +62,7 @@ def test_forces_match_brute():
     np.testing.assert_allclose(f_n, f_b, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_delta_moves_match_brute():
     pot = LJCut.create()
     pos, box = _liquidish()

@@ -1,6 +1,7 @@
 """Phase classifier + melting-temperature extraction oracles."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,6 +52,7 @@ def _synthetic_rdf_dataset(npress=2, ntemp=10, nbins=32, seed=0):
     return temps, jnp.asarray(feats.reshape(-1, nbins), jnp.float32), t_melt_true
 
 
+@pytest.mark.slow
 def test_classifier_recovers_melting_point():
     npress, ntemp = 2, 10
     temps, feats, t_true = _synthetic_rdf_dataset(npress, ntemp)
@@ -68,6 +70,7 @@ def test_classifier_recovers_melting_point():
     np.testing.assert_allclose(tms, t_true, atol=0.6)
 
 
+@pytest.mark.slow
 def test_cnn_shape():
     model = PhaseCNN(features=(8, 16), dense=16)
     x = jnp.zeros((5, 64))

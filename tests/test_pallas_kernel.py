@@ -2,6 +2,7 @@
 CPU; the same kernel compiles for real TPU — exercised via bench/verify)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -11,6 +12,7 @@ from neuralmelting_tpu.ops import energy as E
 from neuralmelting_tpu.ops.pallas.lj_kernel import delta_moves_pallas
 
 
+@pytest.mark.slow
 def test_pallas_delta_matches_brute():
     pot = LJCut.create()
     pos, box = make_supercell("fcc", 1.6, 4)  # 256 atoms
@@ -34,6 +36,7 @@ def test_pallas_delta_matches_brute():
         np.testing.assert_allclose(de[0, k], de_b, rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_pallas_delta_batched_replicas():
     pot = LJCut.create()
     pos, box = make_supercell("fcc", 1.6, 3)  # 108 atoms

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow   # every geometry-maintenance chain costs 60-330 s of CPU-interpret compile
+
 from neuralmelting_tpu import runner
 from neuralmelting_tpu.config import RunConfig
 from neuralmelting_tpu.ops.pallas import cellmc as CMK
@@ -93,7 +95,8 @@ def test_scoped_vmem_guard_drops_nsub(small_setup):
     assert out.geom.nsub == 8
 
 
-def test_midchunk_overflow_retry_survives_donation(small_setup):
+def test_midchunk_overflow_retry_survives_donation(small_setup,
+                                                   monkeypatch):
     """Mid-chunk DIAG_SLAB_OVERFLOW must grow kcap and RERUN the chunk
     from the intact pre-chunk ensemble. The run fns donate
     (states, slabs, slab_count), so the retry can only work from the
@@ -101,15 +104,25 @@ def test_midchunk_overflow_retry_survives_donation(small_setup):
     donated arrays raises 'Array has been deleted' (code-review r3).
 
     Overflow is forced by shrinking kcap to the exact current max
-    occupancy (zero margin): the random grid-shift rebins inside the
-    chunk redistribute cell populations past it almost surely at these
-    temperatures. pytest.warns makes the trigger mandatory — if the
-    overflow never fires, the test fails rather than passing vacuously.
+    occupancy (zero margin): the grid-shift rebins inside the chunks
+    redistribute cell populations past it. Two details make the trigger
+    reliable where the original version silently stopped firing:
+
+      * run_sampling's PRE-chunk maintenance (_refresh_cellmc_geom,
+        added in round 4) sees the zero-margin occupancy and grows kcap
+        BEFORE the chunk ever dispatches — defusing the mid-chunk path
+        this test exists to cover. It is monkeypatched to identity here;
+        the pre-chunk grow has its own test above
+        (test_kcap_grows_near_overflow).
+      * one chunk's rebin draws are not a sure trigger, so chunks loop
+        (re-using the first chunk's compile) until the retry fires,
+        with a bound that only then fails the test.
     """
     import warnings
 
     from neuralmelting_tpu.sampler import cellmc as SC
 
+    monkeypatch.setattr(runner, "_refresh_cellmc_geom", lambda s: s)
     setup = small_setup
     mx = int(jnp.max(setup.slab_count))
     kc = -(-mx // 8) * 8                       # ceil to sublane multiple
@@ -123,9 +136,16 @@ def test_midchunk_overflow_retry_survives_donation(small_setup):
         setup, cfg=cfg, geom=tight, slabs=slabs, slab_count=count,
         shift=shift, states=states,
         cell_tabs=jnp.asarray(CMK.geom_tables(tight)))
-    with pytest.warns(RuntimeWarning, match="cell slot overflow"):
-        setup, recs, frames, hist, xacc, diag = runner.run_sampling(
-            setup, outdir=None, write_files=False)
+    fired = False
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        for _chunk in range(8):                # <= 48 rebin draws
+            setup, recs, frames, hist, xacc, diag = runner.run_sampling(
+                setup, outdir=None, write_files=False)
+            if any("cell slot overflow" in str(w.message) for w in caught):
+                fired = True
+                break
+    assert fired, "overflow retry never fired in 8 chunks (48 rebins)"
     assert int(diag) == 0                      # retried chunk is clean
     assert setup.geom.kcap > kc                # capacity actually grew
     per_rep = np.asarray(jnp.sum(setup.slab_count, axis=1))

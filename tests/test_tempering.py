@@ -1,6 +1,7 @@
 """Replica exchange: permutation algebra, acceptance, and sharded execution."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,6 +75,7 @@ def test_apply_exchange_moves_slot_attached_fields():
                                   np.asarray(states.pos))
 
 
+@pytest.mark.slow
 def test_exchange_preserves_permutation_validity():
     """After many random exchange events slot_of stays a permutation."""
     pot = LJCut.create()
@@ -97,6 +99,7 @@ def test_exchange_preserves_permutation_validity():
             np.asarray(t_grid)[np.asarray(slot_of)], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_ensemble_run_with_exchange_and_sharding():
     """Full exchange run on an 8-device CPU mesh (SURVEY.md §4.4)."""
     assert jax.device_count() == 8
