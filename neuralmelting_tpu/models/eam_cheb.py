@@ -28,6 +28,16 @@ totals, virials all from the same series), so there is no drift between
 incremental and record energetics; the fit error is a tiny, documented
 perturbation of the tabulated potential, not a sampling bias.
 
+``tol`` is also the EAM kernel's #1 throughput lever (docs/tpu_notes.md
+§7): ~76% of sweep-kernel ops are Clenshaw terms of the two pair series,
+and their degree-vs-error curve is algebraic (the source tables are C^2
+cubic splines, so NO variable change reaches spectral convergence — the
+r-basis refit was measured at the same 37 terms as the u-basis). The
+spline tables cap out near max-degree 37 at ~6e-5 eV; relaxing tol to
+2e-4 eV cuts phi/rho to ~21 terms. Set NM_EAM_TOL to override the
+default without touching call sites; the sampled potential's actual max
+fit errors are always on ``fit_err``.
+
 Derivative series (d/du, scaled to the fit interval) provide the virial:
 r dphi/dr = 2u phi_u'(u), and the embedding part (F'_i + F'_j) 2u rho_u'.
 """
@@ -84,9 +94,21 @@ def _der(c, a, b):
     return np.concatenate([d, [0.0]])
 
 
-def from_spline(eam: EAMAlloy, tol: float = 1e-5,
+def from_spline(eam: EAMAlloy, tol: float = None,
                 phi_cap: float = 50.0) -> EAMCheb:
-    """Refit an EAMAlloy's spline tables as Chebyshev series."""
+    """Refit an EAMAlloy's spline tables as Chebyshev series.
+
+    tol: max fit error target in eV (series degrees adapt to it; see
+    module docstring). None -> $NM_EAM_TOL if set, else 2e-4 — the
+    production default adopted in round 5: +28% kernel throughput over
+    the old 1e-5 request (which the spline tables can't meet anyway;
+    fits maxed out at 37 terms / ~6e-5 eV), with the config-3 T_m
+    moving 0.3% (1766.3 K vs 1771.9 K, inside the 0.4% cross-engine
+    agreement band; tol=5e-4 measured at +46% but 0.95% T_m shift and
+    was declined). Pass tol=1e-5 explicitly for max-fidelity oracles."""
+    if tol is None:
+        import os
+        tol = float(os.environ.get("NM_EAM_TOL", "2e-4"))
     rc = float(eam.rc_host)
     dr = float(np.asarray(eam.dr))
     drho = float(np.asarray(eam.drho))

@@ -28,7 +28,10 @@ def cheb():
     path = os.path.join(tempfile.gettempdir(), "nm_synthetic_Al.eam.alloy")
     if not os.path.exists(path):
         eam_gen.write_setfl(path)
-    return E.load(path), EC.from_spline(E.load(path))
+    # tol=1e-5 explicitly: this file's fit-accuracy test pins the
+    # max-fidelity refit capability; the production default is 2e-4
+    # (eam_cheb.from_spline docstring, tpu_notes.md section 7)
+    return E.load(path), EC.from_spline(E.load(path), tol=1e-5)
 
 
 def brute_cheb(ch, pos, box):
