@@ -34,9 +34,12 @@ run_ab() {
 
 run_bench() {
     say "=== bench: headline + e2e rows ==="
-    timeout 3600 python bench.py >>"$LOG" 2>&1
+    timeout 5400 python bench.py > /tmp/nm_bench_out.json 2>>"$LOG"
     say "bench rc=$?"
-    timeout 1200 python scripts/record_progression.py >>"$LOG" 2>&1 || true
+    cat /tmp/nm_bench_out.json >>"$LOG"
+    NM_ROUND=$ROUND python scripts/record_progression.py \
+        "r${ROUND} headline + e2e row" /tmp/nm_bench_out.json \
+        >>"$LOG" 2>&1 || true
     commit_art "On-chip evidence: bench headline + e2e rows" \
         docs/bench_progression_r${ROUND}.json
 }
@@ -50,9 +53,13 @@ run_eambench() {
 
 run_tmab() {
     say "=== tmab: EAM T_m cross-engine A/B + brackets ==="
-    timeout 7200 python scripts/eam_tm_ab.py clong ccool >>"$LOG" 2>&1
+    # regenerate ALL legs at the current (round-5) series tolerance so
+    # the artifact is homogeneous — the round-4 file mixed old-default
+    # legs (git history keeps it). Heating legs auto-run before cooling.
+    rm -f eam_tm_ab.json
+    timeout 14400 python scripts/eam_tm_ab.py clong ccool gcool >>"$LOG" 2>&1
     say "tmab rc=$?"
-    commit_art "On-chip evidence: EAM T_m A/B with hysteresis bracket" \
+    commit_art "On-chip evidence: EAM T_m A/B with hysteresis brackets" \
         eam_tm_ab.json
 }
 

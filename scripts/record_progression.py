@@ -16,7 +16,9 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-PATH = os.path.join(HERE, "..", "docs", "bench_progression_r4.json")
+_ROUND = os.environ.get("NM_ROUND", "5")
+PATH = os.path.join(HERE, "..", "docs",
+                    f"bench_progression_r{_ROUND}.json")
 
 
 def main():
@@ -57,6 +59,7 @@ def main():
         "value": rec.get("value", 0),
         "diag": detail.get("diag", rec.get("diag")),
         "fast_recip": detail.get("fast_recip"),
+        "e2e_moves_per_sec": detail.get("e2e_moves_per_sec"),
         "note": note,
     })
     with open(PATH, "w") as f:
