@@ -193,16 +193,18 @@ def main():
     # driver-visible. First call compiles; the second is timed.
     setup, *_ = runner.run_sampling(setup, write_files=False,
                                     write_traj=False)
-    ntp_b = setup.states.ntp + 0
-    ntv_b = setup.states.ntv + 0
+    # ntp/ntv are adaptation-WINDOW counters (sampler/adapt.py zeroes
+    # them each window), so their across-chunk diff cancels with adapt
+    # on; the monotonic per-replica sweep counter is the honest base.
+    # Volume trials (1 per vol_every sweeps) add <0.01% — excluded.
+    sweep_b = setup.states.sweep + 0
     _ = float(jnp.sum(setup.states.pos))
     t3 = time.perf_counter()
     setup, _recs, _frames, _hist, _xacc, e2e_diag = runner.run_sampling(
         setup, write_files=False, write_traj=False)
     _ = float(jnp.sum(setup.states.pos))
     t4 = time.perf_counter()
-    e2e_attempted = int(jnp.sum(setup.states.ntp - ntp_b)
-                        + jnp.sum(setup.states.ntv - ntv_b))
+    e2e_attempted = int(jnp.sum(setup.states.sweep - sweep_b)) * setup.natoms
     e2e_rate = e2e_attempted / (t4 - t3)
 
     # companion rows recorded by scripts/northstar.py (end-to-end
