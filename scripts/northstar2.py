@@ -220,6 +220,21 @@ def main():
     samp_chunks = 2 if FAST else 4     # x SAMP_RECORDS x mod sweeps
 
     prog = load_progress()
+    # Stale-vintage guard: progress counters are only meaningful under
+    # the chunking that wrote them. A leftover state dir from an older
+    # chunking (e.g. round 4's 30x 20-sweep eq chunks -> eq_done=30 >
+    # today's eq_chunks=3) would skip BOTH loops and report the old
+    # run's accumulated timings as this run's result. Wipe and restart.
+    sig = {"eq_chunks": eq_chunks, "samp_chunks": samp_chunks,
+           "eq_records": EQ_RECORDS, "samp_records": SAMP_RECORDS,
+           "mod": cfg.mod, "grid": [npress, ntemp]}
+    if (prog["eq_done"] or prog["samp_done"]) and prog.get("chunking") != sig:
+        print(f"stale ns_state (chunking {prog.get('chunking')} != {sig}); "
+              f"starting fresh", file=sys.stderr)
+        for f in os.listdir(STATE):
+            os.remove(os.path.join(STATE, f))
+        prog = load_progress()
+    prog["chunking"] = sig
     prog["attempts"] += 1
     save_progress(prog)
 
@@ -407,7 +422,10 @@ def main():
         }
 
     print(json.dumps(out, indent=1))
-    with open("northstar_result.json", "w") as f:
+    # --fast smoke runs get their own artifact: a smoke run must never
+    # clobber the committed full-scale result (it did once, round 5).
+    name = "northstar_result_fast.json" if FAST else "northstar_result.json"
+    with open(name, "w") as f:
         json.dump(out, f, indent=1)
 
 
