@@ -191,8 +191,15 @@ def main():
     # overflow retry), host readbacks — so BENCH carries the system
     # number next to the kernel number and the orchestration gap is
     # driver-visible. First call compiles; the second is timed.
+    # The production pipeline (scripts/northstar2.py) runs 10-record
+    # chunks (200 sweeps), so the e2e row measures THAT configuration;
+    # at nrecords=1 the fixed per-chunk overhead (geometry-refresh
+    # readback, record fetch, pre-state snapshot) bills 1.05 s against
+    # a 2.95 s chunk (0.74x kernel, measured 2026-08-19) — real, but
+    # not the shape production runs in.
+    E2E_RECORDS = 10
     setup, *_ = runner.run_sampling(setup, write_files=False,
-                                    write_traj=False)
+                                    write_traj=False, nrecords=E2E_RECORDS)
     # ntp/ntv are adaptation-WINDOW counters (sampler/adapt.py zeroes
     # them each window), so their across-chunk diff cancels with adapt
     # on; the monotonic per-replica sweep counter is the honest base.
@@ -201,7 +208,7 @@ def main():
     _ = float(jnp.sum(setup.states.pos))
     t3 = time.perf_counter()
     setup, _recs, _frames, _hist, _xacc, e2e_diag = runner.run_sampling(
-        setup, write_files=False, write_traj=False)
+        setup, write_files=False, write_traj=False, nrecords=E2E_RECORDS)
     _ = float(jnp.sum(setup.states.pos))
     t4 = time.perf_counter()
     e2e_attempted = int(jnp.sum(setup.states.sweep - sweep_b)) * setup.natoms
@@ -252,6 +259,7 @@ def main():
             "diag": diag_v,
             "e2e_moves_per_sec": e2e_rate,
             "e2e_sec_per_chunk": t4 - t3,
+            "e2e_sweeps_per_chunk": E2E_RECORDS * SWEEPS_PER_CHUNK,
             "e2e_diag": int(e2e_diag),
             "engine": "cellmc-pallas",
             "fast_recip": fast_recip,
