@@ -49,11 +49,24 @@ def test_two_process_sharded_sampling(tmp_path):
         [_sys.executable, worker, str(port), str(i), "2", str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
         for i in range(2)]
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    # 2400 s: both workers compile gather + cellmc + EAM-cellmc graphs
+    # while sharing one core (the EAM leg pushed the old 900 s budget
+    # over; measured 2026-08-19). On timeout, kill and surface partial
+    # output so the stuck leg is identifiable.
+    outs = []
+    for p in procs:
+        try:
+            outs.append(p.communicate(timeout=2400)[0].decode())
+        except subprocess.TimeoutExpired:
+            p.kill()
+            outs.append(p.communicate()[0].decode())
+            raise AssertionError(
+                f"worker timed out; partial output:\n{outs[-1][-3000:]}")
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert "MH2 PASS" in out
         assert "MH2 CELLMC PASS" in out   # production engine, same path
+        assert "MH2 EAM PASS" in out      # density-slab EAM across procs
     thrm = list(tmp_path.glob("*.thrm"))
     assert len(thrm) == 8            # one per (P,T) slot per run, written once
     assert (tmp_path / "mh2.ckpt.npz").exists()
