@@ -57,3 +57,29 @@ def melting_curve(temps, probs_grid):
         tms.append(float(tm))
         widths.append(float(w))
     return np.asarray(tms), np.asarray(widths)
+
+
+def crossing_resolved(temps, probs_grid, tms):
+    """Per-row mask: did the data actually RESOLVE a 0.5 crossing?
+
+    A logistic fit to a probability row that never spans 0.5 (e.g. an
+    undercooled liquid that never refroze anywhere on the scanned grid,
+    so P(liquid) ~ 1 at every T) has no crossing inside the data; the
+    Gauss-Newton iterations then extrapolate T_m arbitrarily far outside
+    the grid (negative reduced temperatures were observed on the LJ
+    north-star cooling leg, round 5). Such a fit is a CENSORED
+    observation — "the crossing, if any, lies outside [T_min, T_max]" —
+    not an estimate, and must not enter brackets as a number.
+
+    Resolved requires both (a) the row's probabilities span 0.5 and
+    (b) the fitted midpoint lies inside the scanned grid (padded by one
+    grid spacing, since a crossing in the outermost interval fits
+    slightly outside).
+    """
+    temps = np.asarray(temps, np.float64)
+    pad = (temps[-1] - temps[0]) / max(len(temps) - 1, 1)
+    grid = np.asarray(probs_grid, np.float64)
+    tms = np.asarray(tms, np.float64)
+    spans = (grid.min(axis=1) < 0.5) & (grid.max(axis=1) > 0.5)
+    in_grid = (tms >= temps[0] - pad) & (tms <= temps[-1] + pad)
+    return spans & in_grid

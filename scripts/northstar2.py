@@ -10,9 +10,10 @@ device->host state fetch over the remote tunnel + single-core deflate)
 after EVERY 20-sweep chunk. This version keeps the same total physics
 (600 eq + 400 samp sweeps, 20 sampled records, same grid/seeds) but:
 
-  * chunks are 10x bigger (EQ_RECORDS=10 / SAMP_RECORDS=5 records per
-    run_sampling call -> 200/100 sweeps per chunk), so the jitted chunk
-    amortizes every host-side readback;
+  * chunks are bigger (RECORDS=5 records per run_sampling call -> 100
+    sweeps per chunk, ONE shape for eq/samp/cooling so XLA compiles a
+    single graph), so the jitted chunk amortizes every host-side
+    readback;
   * checkpoints are TIME-based (--ck-secs, default 240 s) plus stage
     boundaries — resume granularity costs minutes of recompute, not
     3 s of kernel inside 77 s of wall;
@@ -52,6 +53,12 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+if "--cpu" in sys.argv:
+    # sitecustomize force-selects the axon TPU plugin and IGNORES the
+    # JAX_PLATFORMS env var; only this config update actually overrides
+    # it (same mechanism as tests/conftest.py). Use for smoke runs that
+    # must not contend with an on-chip job.
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, "/root/repo")
 
@@ -63,7 +70,7 @@ from neuralmelting_tpu.features import rdf_frames, structure_factor
 from neuralmelting_tpu.io import checkpoint as ckpt_mod
 from neuralmelting_tpu.neural import get_scaler, PhaseCNN, train_classifier
 from neuralmelting_tpu.neural.train import extreme_t_labels
-from neuralmelting_tpu.neural.melt import melting_curve
+from neuralmelting_tpu.neural.melt import melting_curve, crossing_resolved
 from neuralmelting_tpu.pipeline import slot_order_features
 
 FAST = "--fast" in sys.argv
@@ -71,8 +78,15 @@ PREFLIGHT_ONLY = "--preflight-only" in sys.argv
 COOL = "--cool" in sys.argv
 STATE = os.path.join(os.getcwd(), "ns_state" + ("_fast" if FAST else ""))
 NBINS = 64
-EQ_RECORDS = 2 if FAST else 10     # records (x mod sweeps) per eq chunk
-SAMP_RECORDS = 2 if FAST else 5    # records per samp chunk
+# ONE chunk shape for every phase (eq, sample, cooling): run_sampling's
+# compile key includes (nrecords, write_traj), and the round-5 full-scale
+# run measured ~300 s of XLA compile PER GRAPH VARIANT on this backend
+# (eq chunk 0: 363.8 s vs 38.6 s steady; samp chunk 0: 306.8 s vs 19.4 s
+# — docs/evidence_r5.log:114-118) with the persistent compilation cache
+# silently unsupported (axon backend leaves /root/.jax_cache empty). A
+# uniform (records=5, write_traj=True) shape pays compile exactly once;
+# eq chunks simply discard their trajectory frames.
+RECORDS = 2 if FAST else 5         # records (x mod sweeps) per chunk
 
 
 def arg_val(flag, default):
@@ -103,7 +117,7 @@ def load_progress():
     return {"eq_done": 0, "samp_done": 0,
             "eq_secs": 0.0, "samp_secs": 0.0, "attempts": 0,
             "kernel_secs": 0.0, "feat_secs": 0.0, "ck_secs": 0.0,
-            "ck_count": 0}
+            "ck_count": 0, "chunk_log": []}
 
 
 def save_progress(prog):
@@ -194,8 +208,9 @@ def train_and_fit(setup, feats, box_mean, npress, ntemp, natoms, rmax):
                            epochs=400, lr=2e-3)
     probs = np.asarray(res.probs).reshape(npress, ntemp)
     tms, widths = melting_curve(setup.temp, probs)
-    return tms, widths, (np.asarray(q), np.asarray(sq)), (net, res.params,
-                                                          sc)
+    resolved = crossing_resolved(setup.temp, probs, tms)
+    return tms, widths, resolved, (np.asarray(q), np.asarray(sq)), (
+        net, res.params, sc)
 
 
 def apply_and_fit(setup, clf, feats, npress, ntemp):
@@ -203,12 +218,21 @@ def apply_and_fit(setup, clf, feats, npress, ntemp):
     Extreme-T labels are invalid on a liquid-start ensemble (the bottom
     band need not have refrozen), so the cooling leg must NOT retrain —
     measured: a fast-tier cooling leg retrained in-leg reported its
-    crossing ABOVE the heating leg's."""
+    crossing ABOVE the heating leg's.
+
+    Returns (tms, widths, resolved, probs): ``resolved`` marks rows whose
+    probabilities actually span 0.5 with an in-grid fitted midpoint. The
+    round-5 full-scale cooling leg resolved NOTHING (the undercooled LJ
+    liquid never refroze anywhere on the grid within the sweep budget,
+    so every fit extrapolated to a negative reduced temperature); those
+    rows are censored observations, not bracket edges."""
     net, params, sc = clf
     x = sc.transform(feats)
     probs = np.asarray(jax.nn.sigmoid(net.apply(params, x)))
     probs = probs.reshape(npress, ntemp)
-    return melting_curve(setup.temp, probs)
+    tms, widths = melting_curve(setup.temp, probs)
+    resolved = crossing_resolved(setup.temp, probs, tms)
+    return tms, widths, resolved, probs
 
 
 def main():
@@ -216,8 +240,8 @@ def main():
     cfg = make_cfg()
     npress, ntemp = cfg.npress, cfg.ntemp
     r = npress * ntemp
-    eq_chunks = 1 if FAST else 3       # x EQ_RECORDS x mod sweeps
-    samp_chunks = 2 if FAST else 4     # x SAMP_RECORDS x mod sweeps
+    eq_chunks = 1 if FAST else 6       # x RECORDS x mod sweeps (600 eq)
+    samp_chunks = 2 if FAST else 4     # x RECORDS x mod sweeps (400 samp)
 
     prog = load_progress()
     # Stale-vintage guard: progress counters are only meaningful under
@@ -226,7 +250,7 @@ def main():
     # today's eq_chunks=3) would skip BOTH loops and report the old
     # run's accumulated timings as this run's result. Wipe and restart.
     sig = {"eq_chunks": eq_chunks, "samp_chunks": samp_chunks,
-           "eq_records": EQ_RECORDS, "samp_records": SAMP_RECORDS,
+           "records": RECORDS, "uniform_graph": True,
            "mod": cfg.mod, "grid": [npress, ntemp]}
     if (prog["eq_done"] or prog["samp_done"]) and prog.get("chunking") != sig:
         print(f"stale ns_state (chunking {prog.get('chunking')} != {sig}); "
@@ -257,17 +281,25 @@ def main():
     diag_any = int(prog.get("diag", 0))
     cker = Checkpointer(prog)
 
-    # --- equilibrate (no traj): big chunks, time-based checkpoints -----
+    # --- equilibrate: uniform chunk shape, time-based checkpoints ------
+    # write_traj=True here too (frames discarded) so eq/samp/cooling all
+    # hit ONE compiled graph; the frames stack for 5 records is ~250 MB
+    # of HBM, freed at chunk end.
+    attempt = prog["attempts"]
     for i in range(prog["eq_done"], eq_chunks):
         t0 = time.perf_counter()
         setup, recs, frames, hist, xacc, diag = runner.run_sampling(
-            setup, write_files=False, write_traj=False,
-            nrecords=EQ_RECORDS)
+            setup, write_files=False, write_traj=True, nrecords=RECORDS)
+        jax.block_until_ready(setup.states.pos)
+        del frames
         diag_any |= int(diag)
         kdt = time.perf_counter() - t0
+        prog.setdefault("chunk_log", []).append(
+            {"phase": "eq", "i": i, "kernel": round(kdt, 2),
+             "attempt": attempt})
         cker.note(eq_done=i + 1, eq_secs=prog["eq_secs"] + kdt,
                   kernel_secs=prog.get("kernel_secs", 0.0) + kdt,
-                  diag=diag_any)
+                  chunk_log=prog["chunk_log"], diag=diag_any)
         prog["eq_secs"] += kdt
         prog["kernel_secs"] = prog.get("kernel_secs", 0.0) + kdt
         cdt = cker.maybe(setup, force=(i + 1 == eq_chunks))
@@ -280,8 +312,8 @@ def main():
     for i in range(prog["samp_done"], samp_chunks):
         t0 = time.perf_counter()
         setup, recs, frames, hist, xacc, diag = runner.run_sampling(
-            setup, write_files=False, write_traj=True,
-            nrecords=SAMP_RECORDS)
+            setup, write_files=False, write_traj=True, nrecords=RECORDS)
+        jax.block_until_ready(setup.states.pos)
         diag_any |= int(diag)
         kdt = time.perf_counter() - t0
         t1 = time.perf_counter()
@@ -290,11 +322,14 @@ def main():
         fp = os.path.join(STATE, f"feat_{i:03d}.npz")
         np.savez(fp + ".tmp.npz", g=g_slot, box=b_slot)
         os.replace(fp + ".tmp.npz", fp)
+        prog.setdefault("chunk_log", []).append(
+            {"phase": "samp", "i": i, "kernel": round(kdt, 2),
+             "feat": round(fdt, 2), "attempt": attempt})
         cker.note(samp_done=i + 1,
                   samp_secs=prog["samp_secs"] + kdt + fdt,
                   kernel_secs=prog.get("kernel_secs", 0.0) + kdt,
                   feat_secs=prog.get("feat_secs", 0.0) + fdt,
-                  diag=diag_any)
+                  chunk_log=prog["chunk_log"], diag=diag_any)
         prog["samp_secs"] += kdt + fdt
         prog["kernel_secs"] = prog.get("kernel_secs", 0.0) + kdt
         prog["feat_secs"] = prog.get("feat_secs", 0.0) + fdt
@@ -311,8 +346,8 @@ def main():
         bs.append(z["box"])
     feats = jnp.asarray(np.mean(gs, axis=0), jnp.float32)   # (R, nbins)
     box_mean = jnp.asarray(np.mean(bs, axis=0))
-    tms, widths, (q, sq), clf = train_and_fit(setup, feats, box_mean,
-                                              npress, ntemp, natoms, rmax)
+    tms, widths, resolved_h, (q, sq), clf = train_and_fit(
+        setup, feats, box_mean, npress, ntemp, natoms, rmax)
     np.savez(os.path.join(STATE, "sq.npz"), q=q, sq=sq)
     train_secs = time.perf_counter() - t0
 
@@ -329,6 +364,28 @@ def main():
 
     compute_secs = prog["eq_secs"] + prog["samp_secs"] \
         + prog.get("ck_secs", 0.0) + train_secs
+
+    # Steady-state accounting: the FIRST chunk of each attempt carries
+    # the one-time XLA compile (~300 s on this backend; the persistent
+    # compilation cache is silently unsupported — /root/.jax_cache stays
+    # empty), which a production campaign amortizes over hours. Estimate
+    # it IN-PROCESS from the committed chunk log: steady rate = median of
+    # the non-first chunks, compile = excess of each attempt's first
+    # chunk over that median.
+    clog = prog.get("chunk_log", [])
+    compile_secs = 0.0
+    if len(clog) >= 3:
+        firsts = {}
+        for c in clog:
+            firsts.setdefault(c["attempt"], c)   # first chunk per attempt
+        rest = [c["kernel"] for c in clog
+                if c is not firsts.get(c["attempt"])]
+        if rest:
+            steady = float(np.median(rest))
+            compile_secs = float(sum(max(0.0, f["kernel"] - steady)
+                                     for f in firsts.values()))
+    steady_secs = max(compute_secs - compile_secs, 1e-9)
+
     press = np.asarray(setup.press)
     tm_p1 = float(tms[0])
     anchor = 0.780                            # CPU-anchored small-scale
@@ -350,17 +407,22 @@ def main():
             "checkpoint_seconds": round(prog.get("ck_secs", 0.0), 1),
             "checkpoint_count": prog.get("ck_count", 0),
             "train_seconds": round(train_secs, 1),
-            "records_per_eq_chunk": EQ_RECORDS,
-            "records_per_samp_chunk": SAMP_RECORDS,
+            "records_per_chunk": RECORDS,
+            "xla_compile_seconds": round(compile_secs, 1),
+            "chunk_log": clog,
         },
         "moves_per_sec_nominal": attempts / max(
             prog["eq_secs"] + prog["samp_secs"], 1e-9),
         "points_per_hour": r / (compute_secs / 3600.0),
+        # compile-amortized rate: what a campaign that keeps the process
+        # alive (or any backend whose compilation cache works) sustains
+        "points_per_hour_steady": r / (steady_secs / 3600.0),
         "tm_by_pressure": {f"{press[i]:.3f}": float(tms[i])
                            for i in range(npress)},
         "tm_p1": tm_p1, "tm_p1_anchor": anchor,
         "tm_p1_rel_err": err_p1,
         "pass_2pct": bool(err_p1 <= 0.02),
+        "heat_resolved_rows": int(np.sum(resolved_h)),
         "device": str(jax.devices()[0]),
     }
 
@@ -389,35 +451,60 @@ def main():
             box=jnp.asarray(box_np[donor]))
         setup = dataclasses.replace(setup, states=states2)
         setup = runner._rebind_cellmc(setup, setup.geom)
+        cool_log = []
         for i in range(eq_chunks):                   # re-equilibrate
-            setup, recs, frames, hist, xacc, diag = runner.run_sampling(
-                setup, write_files=False, write_traj=False,
-                nrecords=EQ_RECORDS)
-            diag_any |= int(diag)
-        gs2, bs2 = [], []
-        for i in range(samp_chunks):
+            t0 = time.perf_counter()
             setup, recs, frames, hist, xacc, diag = runner.run_sampling(
                 setup, write_files=False, write_traj=True,
-                nrecords=SAMP_RECORDS)
+                nrecords=RECORDS)
+            jax.block_until_ready(setup.states.pos)
+            del frames
+            diag_any |= int(diag)
+            cool_log.append({"phase": "cool_eq", "i": i,
+                             "kernel": round(time.perf_counter() - t0, 2)})
+        gs2, bs2 = [], []
+        for i in range(samp_chunks):
+            t0 = time.perf_counter()
+            setup, recs, frames, hist, xacc, diag = runner.run_sampling(
+                setup, write_files=False, write_traj=True,
+                nrecords=RECORDS)
             diag_any |= int(diag)
             g2, b2 = featurize_chunk(frames, np.asarray(hist), rmax)
             gs2.append(g2)
             bs2.append(b2)
+            cool_log.append({"phase": "cool_samp", "i": i,
+                             "kernel": round(time.perf_counter() - t0, 2)})
         feats2 = jnp.asarray(np.mean(gs2, axis=0), jnp.float32)
         box2 = jnp.asarray(np.mean(bs2, axis=0))
-        tms2, _ = apply_and_fit(setup, clf, feats2, npress, ntemp)
+        tms2, _, resolved2, probs2 = apply_and_fit(setup, clf, feats2,
+                                                   npress, ntemp)
+        np.savez(os.path.join(STATE, "cool_probs.npz"),
+                 probs=probs2, tms=tms2, resolved=resolved2)
         cool_secs = time.perf_counter() - cool_secs0
-        lo = [float(min(a, b)) for a, b in zip(tms, tms2)]
-        hi = [float(max(a, b)) for a, b in zip(tms, tms2)]
+        t_min = float(np.asarray(setup.temp)[0])
+        # Censoring: a cooling row that never refroze on-grid gives only
+        # "T_cool < T_min scanned" — report null, not the extrapolated
+        # fit. The bracket lower edge is then unresolved; the heating leg
+        # alone still upper-bounds T_m.
+        tm_cool = [float(tms2[i]) if resolved2[i] else None
+                   for i in range(npress)]
+        lo0 = tm_cool[0] if resolved2[0] else None
+        hi0 = float(tms[0])
         out["bracket"] = {
             "tm_heat_by_pressure": {f"{press[i]:.3f}": float(tms[i])
                                     for i in range(npress)},
-            "tm_cool_by_pressure": {f"{press[i]:.3f}": float(tms2[i])
+            "tm_cool_by_pressure": {f"{press[i]:.3f}": tm_cool[i]
                                     for i in range(npress)},
-            "tm_bracket_p1": [lo[0], hi[0]],
-            "anchor_in_bracket_p1": bool(
-                lo[0] - 0.02 <= anchor <= hi[0] + 0.02),
+            "cool_resolved_rows": int(np.sum(resolved2)),
+            "cool_censored_below": t_min,
+            "tm_bracket_p1": [lo0, hi0],
+            "bracket_p1_resolved": bool(resolved2[0]),
+            "anchor_in_bracket_p1": (
+                bool(lo0 - 0.02 <= anchor <= hi0 + 0.02)
+                if lo0 is not None else None),
+            "anchor_below_heating_edge_p1": bool(anchor <= hi0 + 0.02),
             "cool_seconds": round(cool_secs, 1),
+            "cool_chunk_log": cool_log,
             "diag": diag_any,
         }
 

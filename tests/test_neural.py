@@ -94,3 +94,19 @@ def test_sigmoid_fit_noisy():
                      + 0.05 * jnp.asarray(rng.normal(size=16)), 0, 1)
     tm, w = fit_melting_temperature(t, probs)
     np.testing.assert_allclose(float(tm), 1.4, atol=0.08)
+
+def test_crossing_resolved_censors_no_crossing_rows():
+    """A row that never spans 0.5 (e.g. an undercooled liquid that never
+    refroze on-grid) must be flagged unresolved — the round-5 LJ cooling
+    leg fitted NEGATIVE reduced temperatures from exactly such rows."""
+    from neuralmelting_tpu.neural.melt import crossing_resolved
+    t = np.linspace(0.55, 1.55, 32)
+    good = np.asarray(logistic(jnp.asarray(t), 0.9, 0.05))   # real crossing
+    all_liquid = np.full(32, 0.97)                           # no crossing
+    all_solid = np.full(32, 0.03)
+    probs = np.stack([good, all_liquid, all_solid])
+    tms, _ = melting_curve(t, probs)
+    resolved = crossing_resolved(t, probs, tms)
+    assert resolved.tolist() == [True, False, False]
+    # an in-grid tm computed from a non-spanning row is still censored
+    assert not crossing_resolved(t, all_solid[None], np.array([1.0]))[0]
