@@ -82,10 +82,12 @@ NBINS = 64
 # compile key includes (nrecords, write_traj), and the round-5 full-scale
 # run measured ~300 s of XLA compile PER GRAPH VARIANT on this backend
 # (eq chunk 0: 363.8 s vs 38.6 s steady; samp chunk 0: 306.8 s vs 19.4 s
-# — docs/evidence_r5.log:114-118) with the persistent compilation cache
-# silently unsupported (axon backend leaves /root/.jax_cache empty). A
-# uniform (records=5, write_traj=True) shape pays compile exactly once;
-# eq chunks simply discard their trajectory frames.
+# — docs/evidence_r5.log:114-118). A uniform (records=5,
+# write_traj=True) shape pays compile exactly once; eq chunks simply
+# discard their trajectory frames. (The persistent compilation cache,
+# observed non-functional during that run, works after the mid-round
+# backend restart — docs/tpu_notes.md §6.4 item 2 — so a fresh process
+# with a populated /root/.jax_cache skips the compile entirely.)
 RECORDS = 2 if FAST else 5         # records (x mod sweeps) per chunk
 
 
@@ -366,12 +368,12 @@ def main():
         + prog.get("ck_secs", 0.0) + train_secs
 
     # Steady-state accounting: the FIRST chunk of each attempt carries
-    # the one-time XLA compile (~300 s on this backend; the persistent
-    # compilation cache is silently unsupported — /root/.jax_cache stays
-    # empty), which a production campaign amortizes over hours. Estimate
-    # it IN-PROCESS from the committed chunk log: steady rate = median of
-    # the non-first chunks, compile = excess of each attempt's first
-    # chunk over that median.
+    # the one-time XLA compile (~300 s on this backend when the
+    # persistent cache is cold; ~0 when /root/.jax_cache already holds
+    # the executable — tpu_notes §6.4 item 2), which a production
+    # campaign amortizes over hours. Estimate it IN-PROCESS from the
+    # committed chunk log: steady rate = median of the non-first chunks,
+    # compile = excess of each attempt's first chunk over that median.
     clog = prog.get("chunk_log", [])
     compile_secs = 0.0
     if len(clog) >= 3:
