@@ -421,20 +421,57 @@ def _cached_run_fn(key, build):
     return fn
 
 
+def _no_exchange_adapter(run):
+    """Present a make_[eam_]cellmc_run_fn(exchange=False) 7-tuple runner
+    under the exchange 10-tuple contract run_sampling unpacks: slot_of
+    passes through untouched (no tempering -> no slot movement), hist
+    repeats it per record, xacc is all-zero. The exchange-form call site
+    passes (..., slot_of, xkey, *pot_args, cell_tabs, t_grid, p_grid,
+    seed0); the no-exchange runner wants (*pot_args, cell_tabs, seed0),
+    i.e. the same tail minus (t_grid, p_grid) — true for both the pair
+    and EAM signatures (sampler/cellmc.py:95-101, 414-421)."""
+    def run_x(states, slabs, count, shift, slot_of, xkey, *tail):
+        inner = tail[:-3] + (tail[-1],)
+        states, slabs, count, shift, recs, frames, diag = run(
+            states, slabs, count, shift, *inner)
+        nrec = recs.sweep.shape[0]
+        hist = jnp.broadcast_to(slot_of[None, :],
+                                (nrec, slot_of.shape[0]))
+        xacc = jnp.zeros((nrec,), jnp.int32)
+        return (states, slabs, count, shift, slot_of, recs, frames,
+                hist, xacc, diag)
+    return run_x
+
+
 def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                  write_files: bool = True, checkpoint_path: Optional[str] = None,
                  nrecords: Optional[int] = None, write_traj: bool = True,
-                 metrics=None):
+                 metrics=None, exchange: bool = True):
     """Advance the ensemble nrecords blocks; write per-slot text outputs.
 
     Returns (setup, recs, frames, hist, xacc, diag) with recs fields
     (nrec, R) replica-ordered and hist (nrec, R) the replica->slot map.
+
+    ``exchange=False`` disables parallel tempering: every replica keeps
+    its slot for the whole run (hist rows stay the identity, xacc stays
+    0). Required by experiments where each row's configuration must
+    evolve at its own fixed (P, T) — e.g. the two-phase coexistence
+    bracket (neuralmelting_tpu/coexist.py), where a tempering swap would
+    teleport a melted interface into a colder row and destroy the
+    which-way-did-it-move signal. Only the single-process cellmc engine
+    offers it; the sampling itself is the identical sweep kernel.
     """
     cfg = setup.cfg
     npress, ntemp = len(setup.press), len(setup.temp)
     nrecords = nrecords or cfg.nsmpl
     nvol = nvol_per_sweep(cfg, setup.natoms)
     nhmc = 1 if cfg.phmc > 0 else 0
+    if not exchange and (setup.engine != "cellmc"
+                         or jax.process_count() > 1):
+        raise ValueError(
+            "exchange=False is offered on the single-process cellmc "
+            "engine only (coexistence experiments run there); got "
+            f"engine={setup.engine!r}, processes={jax.process_count()}")
 
     import time as _time
     _t0 = _time.time()
@@ -461,7 +498,7 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                 scal, series, nser = SC.eam_pack(setup.pot)
                 key = ("eam", setup.geom, nser, cfg.mod, nrecords, nvol,
                        cfg.adapt_factor, npress, ntemp, write_traj, multi,
-                       cfg.vol_every, cfg.rebin_every,
+                       cfg.vol_every, cfg.rebin_every, exchange,
                        cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
                 if multi:
                     run = _cached_run_fn(
@@ -478,17 +515,21 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                             factor=cfg.adapt_factor, style="eam",
                             nser=nser, write_traj=write_traj))
                 else:
-                    run = _cached_run_fn(key, lambda: SC.make_eam_run_fn(
-                        setup.us.kb, setup.us.p2e, setup.geom, nser,
-                        mod=cfg.mod, nrecords=nrecords,
-                        ncyc=SC.default_ncyc(setup.geom),
-                        nvol=nvol, factor=cfg.adapt_factor,
-                        vol_every=cfg.vol_every,
-                        rebin_every=cfg.rebin_every,
-                        targets=(cfg.acc_target_pos, cfg.acc_target_vol,
-                                 cfg.acc_target_hmc),
-                        exchange=True, npress=npress, ntemp=ntemp,
-                        write_traj=write_traj))
+                    def _build_eam(nser=nser):
+                        fn = SC.make_eam_run_fn(
+                            setup.us.kb, setup.us.p2e, setup.geom, nser,
+                            mod=cfg.mod, nrecords=nrecords,
+                            ncyc=SC.default_ncyc(setup.geom),
+                            nvol=nvol, factor=cfg.adapt_factor,
+                            vol_every=cfg.vol_every,
+                            rebin_every=cfg.rebin_every,
+                            targets=(cfg.acc_target_pos,
+                                     cfg.acc_target_vol,
+                                     cfg.acc_target_hmc),
+                            exchange=exchange, npress=npress,
+                            ntemp=ntemp, write_traj=write_traj)
+                        return fn if exchange else _no_exchange_adapter(fn)
+                    run = _cached_run_fn(key, _build_eam)
                 out = run(setup.states, setup.slabs, setup.slab_count,
                           setup.shift, setup.slot_of,
                           jax.random.key(cfg.seed + 1), scal, series,
@@ -500,7 +541,7 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                 fr = os.environ.get("NM_FAST_RECIP", "") == "1"
                 key = ("cellmc", setup.geom, cfg.mod, nrecords, nvol,
                        cfg.adapt_factor, npress, ntemp, write_traj, fr,
-                       multi, cfg.vol_every, cfg.rebin_every,
+                       multi, cfg.vol_every, cfg.rebin_every, exchange,
                        cfg.acc_target_pos, cfg.acc_target_vol, setup.us.kb)
                 if multi:
                     run = _cached_run_fn(
@@ -517,16 +558,21 @@ def run_sampling(setup: RunSetup, outdir: Optional[str] = None,
                             factor=cfg.adapt_factor, fast_recip=fr,
                             write_traj=write_traj))
                 else:
-                    run = _cached_run_fn(key, lambda: SC.make_cellmc_run_fn(
-                        setup.us.kb, setup.us.p2e, setup.geom, mod=cfg.mod,
-                        nrecords=nrecords, ncyc=SC.default_ncyc(setup.geom),
-                        nvol=nvol, factor=cfg.adapt_factor, fast_recip=fr,
-                        vol_every=cfg.vol_every,
-                        rebin_every=cfg.rebin_every,
-                        targets=(cfg.acc_target_pos, cfg.acc_target_vol,
-                                 cfg.acc_target_hmc),
-                        exchange=True, npress=npress, ntemp=ntemp,
-                        write_traj=write_traj))
+                    def _build_pair(fr=fr):
+                        fn = SC.make_cellmc_run_fn(
+                            setup.us.kb, setup.us.p2e, setup.geom,
+                            mod=cfg.mod, nrecords=nrecords,
+                            ncyc=SC.default_ncyc(setup.geom),
+                            nvol=nvol, factor=cfg.adapt_factor,
+                            fast_recip=fr, vol_every=cfg.vol_every,
+                            rebin_every=cfg.rebin_every,
+                            targets=(cfg.acc_target_pos,
+                                     cfg.acc_target_vol,
+                                     cfg.acc_target_hmc),
+                            exchange=exchange, npress=npress,
+                            ntemp=ntemp, write_traj=write_traj)
+                        return fn if exchange else _no_exchange_adapter(fn)
+                    run = _cached_run_fn(key, _build_pair)
                 out = run(setup.states, setup.slabs, setup.slab_count,
                           setup.shift, setup.slot_of,
                           jax.random.key(cfg.seed + 1), setup.pot,

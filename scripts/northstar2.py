@@ -352,6 +352,8 @@ def main():
         setup, feats, box_mean, npress, ntemp, natoms, rmax)
     np.savez(os.path.join(STATE, "sq.npz"), q=q, sq=sq)
     train_secs = time.perf_counter() - t0
+    print(f"train+fit done in {train_secs:.1f}s tm_p1={float(tms[0]):.4f}",
+          file=sys.stderr)
 
     # nominal attempts (see scripts/northstar.py for the derivation)
     g = setup.geom
@@ -452,7 +454,9 @@ def main():
             pos=jnp.asarray(pos_np[donor]),
             box=jnp.asarray(box_np[donor]))
         setup = dataclasses.replace(setup, states=states2)
+        print("cool: donor injection done, rebinding", file=sys.stderr)
         setup = runner._rebind_cellmc(setup, setup.geom)
+        print("cool: rebind done", file=sys.stderr)
         cool_log = []
         for i in range(eq_chunks):                   # re-equilibrate
             t0 = time.perf_counter()
@@ -464,6 +468,8 @@ def main():
             diag_any |= int(diag)
             cool_log.append({"phase": "cool_eq", "i": i,
                              "kernel": round(time.perf_counter() - t0, 2)})
+            print(f"cool_eq chunk {i}: {cool_log[-1]['kernel']:.1f}s "
+                  f"diag={int(diag)}", file=sys.stderr)
         gs2, bs2 = [], []
         for i in range(samp_chunks):
             t0 = time.perf_counter()
@@ -476,6 +482,8 @@ def main():
             bs2.append(b2)
             cool_log.append({"phase": "cool_samp", "i": i,
                              "kernel": round(time.perf_counter() - t0, 2)})
+            print(f"cool_samp chunk {i}: {cool_log[-1]['kernel']:.1f}s "
+                  f"diag={int(diag)}", file=sys.stderr)
         feats2 = jnp.asarray(np.mean(gs2, axis=0), jnp.float32)
         box2 = jnp.asarray(np.mean(bs2, axis=0))
         tms2, _, resolved2, probs2 = apply_and_fit(setup, clf, feats2,
