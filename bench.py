@@ -220,22 +220,24 @@ def main():
     # carries them; reproduce via those scripts.
     extra = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for fname, keys in (
-            ("northstar_result.json", ("points_per_hour", "tm_p1",
-                                       "tm_p1_rel_err", "pass_2pct",
-                                       "diag", "total_seconds",
-                                       "feature_train_seconds",
-                                       "breakdown", "bracket")),
-            ("eambench_result.json", ("eam_moves_per_sec", "eam_natoms",
-                                      "eam_diag", "sweep_tm_K",
-                                      "sweep_points_per_hour")),
-            ("ab_result.json", ("ab_pass",))):
+    for fname, tag, keys in (
+            ("northstar_result.json", "northstar",
+             ("points_per_hour", "points_per_hour_steady", "tm_p1",
+              "tm_p1_rel_err", "pass_2pct", "diag", "total_seconds",
+              "feature_train_seconds", "breakdown", "bracket")),
+            ("eambench_result.json", "eambench",
+             ("eam_moves_per_sec", "eam_natoms", "eam_diag", "sweep_tm_K",
+              "sweep_points_per_hour")),
+            ("coexist_result.json", "coexist_lj",
+             ("tm_bracket", "diag", "measured_chunks", "total_seconds")),
+            ("coexist_result_al.json", "coexist_al",
+             ("tm_bracket", "diag", "measured_chunks", "total_seconds")),
+            ("ab_result.json", "ab", ("ab_pass",))):
         for d in (here, os.getcwd()):
             p = os.path.join(d, fname)
             if os.path.exists(p):
                 with open(p) as f:
                     rec = json.load(f)
-                tag = fname.split("_")[0]
                 extra.update({f"{tag}.{k}": rec[k]
                               for k in keys if k in rec})
                 # companion files persist across reruns: stamp their age
